@@ -1,0 +1,139 @@
+"""Convolution primitives (registered in CONVOLUTION).
+
+Parity target: reference ``models/basic/convolution.py:21-38`` registers
+torch ``Conv1d/Conv2d/Conv3d`` plus the alias ``Conv`` → Conv2d.  Here the
+registered classes are channels-last (NHWC / NWC / NDHWC) wrappers over
+``jax.lax.conv_general_dilated`` with torch-compatible constructor arguments
+(``in_channels, out_channels, kernel_size, stride, padding, dilation, groups,
+bias``) so reference configs instantiate unchanged.
+
+Channels-last is the TPU-native layout: the channel dimension maps onto the
+128-lane axis of the VPU/MXU, letting XLA tile convs onto the MXU without
+transposes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...core.registry_hub import CONVOLUTION
+from .param_utils import compute_cast, create_param, kaiming_uniform_torch
+
+IntOrTuple = Union[int, Sequence[int]]
+
+
+def _ntuple(x: IntOrTuple, n: int) -> Tuple[int, ...]:
+    if isinstance(x, (tuple, list)):
+        assert len(x) == n, f"expected {n} values, got {x}"
+        return tuple(int(v) for v in x)
+    return (int(x),) * n
+
+
+class _ConvND(nn.Module):
+    """N-dimensional channels-last convolution with torch-style arguments."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: IntOrTuple
+    stride: IntOrTuple = 1
+    padding: Union[IntOrTuple, str] = 0
+    dilation: IntOrTuple = 1
+    groups: int = 1
+    bias: bool = True
+    padding_mode: str = "zeros"
+    trainable: bool = True
+    # optional overrides of the torch-default kaiming-uniform initialization
+    weight_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+
+    num_spatial_dims: int = 2
+
+    def _resolve_padding(self, n: int):
+        if isinstance(self.padding, str):
+            return self.padding.upper()  # 'SAME' / 'VALID'
+        pad = _ntuple(self.padding, n)
+        return [(p, p) for p in pad]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        n = self.num_spatial_dims
+        ksize = _ntuple(self.kernel_size, n)
+        stride = _ntuple(self.stride, n)
+        dilation = _ntuple(self.dilation, n)
+        assert self.in_channels % self.groups == 0
+        assert self.out_channels % self.groups == 0
+        assert x.shape[-1] == self.in_channels, (
+            f"expected {self.in_channels} input channels, got {x.shape[-1]}")
+
+        # kernel layout: spatial... + (in/groups, out)  (HWIO for 2D)
+        kshape = ksize + (self.in_channels // self.groups, self.out_channels)
+        fan_in = int(np.prod(ksize)) * self.in_channels // self.groups
+        w_init = self.weight_init or kaiming_uniform_torch(fan_in)
+        weight = create_param(self, "weight", w_init, kshape, self.trainable)
+        bias = None
+        if self.bias:
+            b_init = self.bias_init or kaiming_uniform_torch(fan_in)
+            bias = create_param(self, "bias", b_init,
+                                (self.out_channels,), self.trainable)
+
+        padding = self._resolve_padding(n)
+
+        x, weight = compute_cast(x, weight)
+        spatial = "".join("DHW"[3 - n + i] for i in range(n))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, weight.shape,
+            (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"))
+        out = jax.lax.conv_general_dilated(
+            x, weight,
+            window_strides=stride,
+            padding=padding,
+            rhs_dilation=dilation,
+            dimension_numbers=dn,
+            feature_group_count=self.groups)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
+
+@CONVOLUTION.register("Conv1d")
+class Conv1d(_ConvND):
+    num_spatial_dims: int = 1
+
+
+@CONVOLUTION.register("Conv2d", aliases=("Conv",))
+class Conv2d(_ConvND):
+    num_spatial_dims: int = 2
+
+
+@CONVOLUTION.register("Conv3d")
+class Conv3d(_ConvND):
+    num_spatial_dims: int = 3
+
+
+class Linear(nn.Module):
+    """Torch-style dense layer (used by heads/tools; not in a registry)."""
+
+    in_features: int
+    out_features: int
+    bias: bool = True
+    trainable: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        weight = create_param(self, "weight",
+                              kaiming_uniform_torch(self.in_features),
+                              (self.in_features, self.out_features),
+                              self.trainable)
+        x, weight = compute_cast(x, weight)
+        out = x @ weight
+        if self.bias:
+            b = create_param(self, "bias",
+                             kaiming_uniform_torch(self.in_features),
+                             (self.out_features,), self.trainable)
+            out = out + b.astype(out.dtype)
+        return out

@@ -1,0 +1,19 @@
+"""Math helpers (reference ``utils/math.py:2-28``)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+def make_divisible(value: float,
+                   divisor: int,
+                   min_value: Optional[int] = None,
+                   min_ratio: float = 0.9) -> int:
+    """Round ``value`` to the nearest multiple of ``divisor`` that keeps at
+    least ``min_ratio`` of the original value (MobileNet channel rounding)."""
+    if min_value is None:
+        min_value = divisor
+    new_value = max(min_value, int(value + divisor / 2) // divisor * divisor)
+    if new_value < min_ratio * value:
+        new_value += divisor
+    return new_value

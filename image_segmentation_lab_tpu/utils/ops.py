@@ -1,0 +1,135 @@
+"""Resize / upsample primitives.
+
+Parity target: reference ``utils/ops.py:7-69`` — ``resize`` (the single
+upsampling primitive used by every head and by whole/slide inference) and the
+``Upsample`` module.  ``jax.image.resize`` implements only the
+half-pixel-centers convention, so bilinear interpolation with **both**
+``align_corners`` semantics of ``torch.nn.functional.interpolate`` is
+implemented here explicitly (separable row/column gathers + fused
+multiply-adds; XLA fuses the two passes).  Exact coordinate rules:
+
+* ``align_corners=True``:  ``src = dst * (in-1)/(out-1)``
+* ``align_corners=False``: ``src = clamp((dst+0.5) * in/out - 0.5, 0, in-1)``
+* ``nearest``:             ``src = floor(dst * in/out)`` (torch legacy rule)
+
+Verified bit-exactly against torch CPU in tests/test_ops.py; this is the
+cornerstone of mIoU parity (SURVEY.md §7 "hard parts" (a)).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _bilinear_1d_weights(in_size: int, out_size: int, align_corners: bool):
+    """Static gather indices + lerp weights for one spatial axis."""
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        src = dst * scale
+    else:
+        src = np.maximum((dst + 0.5) * in_size / out_size - 0.5, 0.0)
+    i0 = np.floor(src).astype(np.int32)
+    i0 = np.minimum(i0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = (src - i0).astype(np.float32)
+    return i0, i1, w1
+
+
+def resize_bilinear(x: jnp.ndarray,
+                    size: Tuple[int, int],
+                    align_corners: bool = False) -> jnp.ndarray:
+    """Bilinear resize of NHWC ``x`` to ``size=(h, w)`` with torch semantics.
+
+    Interpolation runs in float32 regardless of input dtype (bf16-safe), cast
+    back at the end.
+    """
+    N, H, W, C = x.shape
+    h, w = size
+    if (H, W) == (h, w):
+        return x
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+
+    i0, i1, wh = _bilinear_1d_weights(H, h, align_corners)
+    wh = wh[None, :, None, None]
+    xf = jnp.take(xf, i0, axis=1) * (1 - wh) + jnp.take(xf, i1, axis=1) * wh
+
+    j0, j1, ww = _bilinear_1d_weights(W, w, align_corners)
+    ww = ww[None, None, :, None]
+    xf = jnp.take(xf, j0, axis=2) * (1 - ww) + jnp.take(xf, j1, axis=2) * ww
+    return xf.astype(orig_dtype)
+
+
+def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest resize with torch's legacy ``floor(dst*scale)`` rule."""
+    N, H, W, C = x.shape
+    h, w = size
+    if (H, W) == (h, w):
+        return x
+    rows = np.minimum(np.floor(np.arange(h) * H / h).astype(np.int32), H - 1)
+    cols = np.minimum(np.floor(np.arange(w) * W / w).astype(np.int32), W - 1)
+    return jnp.take(jnp.take(x, rows, axis=1), cols, axis=2)
+
+
+def resize(input: jnp.ndarray,
+           size: Optional[Sequence[int]] = None,
+           scale_factor: Optional[Union[float, Tuple[float, float]]] = None,
+           mode: str = "bilinear",
+           align_corners: Optional[bool] = None,
+           warning: bool = True) -> jnp.ndarray:
+    """``F.interpolate``-compatible resize on NHWC tensors
+    (reference utils/ops.py:7-26 including the align_corners advisory)."""
+    N, H, W, C = input.shape
+    if size is None:
+        assert scale_factor is not None
+        sf = (scale_factor, scale_factor) if not isinstance(
+            scale_factor, (tuple, list)) else scale_factor
+        size = (int(H * sf[0]), int(W * sf[1]))
+    size = tuple(int(s) for s in size)
+
+    if warning and align_corners:
+        oh, ow = size
+        if ((oh > 1 and ow > 1 and H > 1 and W > 1)
+                and (oh - 1) % (H - 1) and (ow - 1) % (W - 1)):
+            warnings.warn(
+                f"When align_corners={align_corners}, the output would be "
+                f"more aligned if input size {(H, W)} and out size {size} "
+                f"satisfy (out-1) % (in-1) == 0")
+
+    if mode == "bilinear":
+        return resize_bilinear(input, size, bool(align_corners))
+    if mode == "nearest":
+        assert align_corners is None or align_corners is False
+        return resize_nearest(input, size)
+    raise ValueError(f"Unsupported resize mode {mode}")
+
+
+class Upsample(nn.Module):
+    """Module wrapper recomputing integer output size from ``scale_factor``
+    at call time (reference utils/ops.py:48-69)."""
+
+    size: Optional[Tuple[int, int]] = None
+    scale_factor: Optional[Union[float, Tuple[float, float]]] = None
+    mode: str = "nearest"
+    align_corners: Optional[bool] = None
+
+    def __call__(self, x, train: bool = False):
+        if not self.size:
+            sf = self.scale_factor
+            sf = (sf, sf) if not isinstance(sf, (tuple, list)) else sf
+            size = (int(x.shape[1] * sf[0]), int(x.shape[2] * sf[1]))
+        else:
+            size = self.size
+        return resize(x, size=size, mode=self.mode,
+                      align_corners=self.align_corners, warning=False)
+
+
+def add_prefix(inputs: dict, prefix: str) -> dict:
+    """``{k: v} → {f'{prefix}.{k}': v}`` (reference utils/ops.py:29-45)."""
+    return {f"{prefix}.{name}": value for name, value in inputs.items()}
