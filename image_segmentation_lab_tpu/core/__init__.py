@@ -1,4 +1,4 @@
-from . import fileio, initialize, mixed_precision  # noqa: F401
+from . import fileio, initialize, mixed_precision, optimizers  # noqa: F401
 from .builder import (DATASET, INITIALIZERS, LR_SCHEDULER, OPTIMIZER, SAMPLER,
                       build_from_cfg, build_optimizer)
 from .registry_hub import *  # noqa: F401,F403

@@ -14,11 +14,22 @@ Parity with reference ``core/builder.py``:
 from __future__ import annotations
 
 import copy
+from collections.abc import Mapping
 from typing import Any, Dict, Optional
 
 from .registry_hub import (DATASET, INITIALIZERS, LR_SCHEDULER, OPTIMIZER,
                            SAMPLER)
 from ..registry import Register
+
+
+
+def _plain(obj):
+    """Recursively convert Mapping (incl. flax FrozenDict fields) → dict."""
+    if isinstance(obj, Mapping):
+        return {k: _plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_plain(v) for v in obj)
+    return obj
 
 
 def build_from_cfg(cfg: Dict[str, Any],
@@ -29,7 +40,7 @@ def build_from_cfg(cfg: Dict[str, Any],
     Mirrors reference core/builder.py:22-64: ``cfg`` must be a dict with a
     ``type`` key; ``default_args`` fills in missing keys without overriding.
     """
-    if not isinstance(cfg, dict):
+    if not isinstance(cfg, Mapping):
         raise TypeError(f"cfg must be a dict, but got {type(cfg)}")
     if "type" not in cfg:
         if default_args is None or "type" not in default_args:
@@ -43,7 +54,7 @@ def build_from_cfg(cfg: Dict[str, Any],
         raise TypeError(
             f"default_args must be a dict or None, but got {type(default_args)}")
 
-    args = copy.deepcopy(cfg)
+    args = _plain(cfg)
     if default_args is not None:
         for name, value in default_args.items():
             args.setdefault(name, value)
@@ -66,7 +77,7 @@ def build_optimizer(cfg: Dict[str, Any], params: Any = None,
     signature parity with the reference (core/builder.py:67-75) but unused —
     optax transformations are initialized separately with ``.init(params)``.
     """
-    cfg = copy.deepcopy(cfg)
+    cfg = _plain(cfg)
     opt_type = cfg.pop("type")
     factory = OPTIMIZER.get(opt_type)
     tx = factory(**cfg)

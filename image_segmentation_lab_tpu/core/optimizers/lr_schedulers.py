@@ -1,0 +1,129 @@
+"""LR scheduler registry.
+
+Parity target: reference ``core/optimizers/lr_update.py`` registers
+StepLR/PolynomialLR/ExponentialLR/LambdaLR (:20-37) plus an unregistered
+``WarmScheduler`` warmup (:40-79; registered here).
+
+The reference steps schedulers once per epoch
+(train.py:123 ``lr_scheduler.step()``).  JAX/optax redesign: a scheduler is a
+*pure function of the global step*; each registered class stores the epoch
+rule and ``schedule(base_lr, steps_per_epoch)`` lowers it to an optax
+schedule with ``epoch = step // steps_per_epoch`` — identical lr trajectory,
+but compiled into the update step (no host-side mutation).  ``optimizer`` is
+accepted for reference call-shape compatibility and ignored.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional
+
+import jax.numpy as jnp
+
+from ..registry_hub import LR_SCHEDULER
+
+
+class EpochSchedule:
+    """Base: subclasses define ``lr_at_epoch(epoch, base_lr) -> float``."""
+
+    def __init__(self, optimizer: Any = None):
+        self.optimizer = optimizer  # unused; reference API parity
+        self.last_epoch = 0
+
+    def lr_at_epoch(self, epoch, base_lr):
+        raise NotImplementedError
+
+    # torch-like epoch API (for logging parity)
+    def step(self):
+        self.last_epoch += 1
+
+    def get_last_lr(self, base_lr: float):
+        return self.lr_at_epoch(self.last_epoch, base_lr)
+
+    def schedule(self, base_lr: float,
+                 steps_per_epoch: int) -> Callable:
+        """Lower to an optax schedule fn(step) -> lr (traced-friendly)."""
+
+        def fn(step):
+            epoch = jnp.asarray(step) // max(steps_per_epoch, 1)
+            return self.lr_at_epoch(epoch, base_lr)
+
+        return fn
+
+
+@LR_SCHEDULER.register("StepLR")
+class StepLR(EpochSchedule):
+    def __init__(self, step_size: int, gamma: float = 0.1, optimizer=None,
+                 **kwargs):
+        super().__init__(optimizer)
+        self.step_size = step_size
+        self.gamma = gamma
+
+    def lr_at_epoch(self, epoch, base_lr):
+        return base_lr * self.gamma ** (epoch // self.step_size)
+
+
+@LR_SCHEDULER.register("PolynomialLR")
+class PolynomialLR(EpochSchedule):
+    def __init__(self, total_iters: int = 5, power: float = 1.0,
+                 optimizer=None, **kwargs):
+        super().__init__(optimizer)
+        self.total_iters = total_iters
+        self.power = power
+
+    def lr_at_epoch(self, epoch, base_lr):
+        frac = jnp.minimum(epoch, self.total_iters) / self.total_iters
+        return base_lr * (1.0 - frac) ** self.power
+
+
+@LR_SCHEDULER.register("ExponentialLR")
+class ExponentialLR(EpochSchedule):
+    def __init__(self, gamma: float, optimizer=None, **kwargs):
+        super().__init__(optimizer)
+        self.gamma = gamma
+
+    def lr_at_epoch(self, epoch, base_lr):
+        return base_lr * self.gamma ** epoch
+
+
+@LR_SCHEDULER.register("LambdaLR")
+class LambdaLR(EpochSchedule):
+    def __init__(self, lr_lambda: Callable, optimizer=None, **kwargs):
+        super().__init__(optimizer)
+        self.lr_lambda = lr_lambda
+
+    def lr_at_epoch(self, epoch, base_lr):
+        return base_lr * self.lr_lambda(epoch)
+
+
+@LR_SCHEDULER.register("WarmScheduler")
+class WarmScheduler(EpochSchedule):
+    """Linear/exponential warmup wrapping another scheduler
+    (reference lr_update.py:40-79)."""
+
+    def __init__(self, warmup_epochs: int = 1, mode: str = "linear",
+                 warmup_ratio: float = 0.1, after: Optional[dict] = None,
+                 optimizer=None, **kwargs):
+        super().__init__(optimizer)
+        assert mode in ("linear", "exp")
+        self.warmup_epochs = warmup_epochs
+        self.mode = mode
+        self.warmup_ratio = warmup_ratio
+        if after is not None:
+            from ..builder import build_from_cfg
+            self.after = build_from_cfg(after, LR_SCHEDULER)
+        else:
+            self.after = None
+
+    def lr_at_epoch(self, epoch, base_lr):
+        if self.after is not None:
+            main = self.after.lr_at_epoch(
+                jnp.maximum(epoch - self.warmup_epochs, 0), base_lr)
+        else:
+            main = base_lr
+        frac = jnp.minimum((epoch + 1) / self.warmup_epochs, 1.0)
+        if self.mode == "linear":
+            warm = self.warmup_ratio + (1 - self.warmup_ratio) * frac
+        else:
+            warm = self.warmup_ratio ** (1.0 - frac)
+        return main * jnp.where(epoch < self.warmup_epochs, warm, 1.0)

@@ -131,6 +131,8 @@ class GroupNorm(nn.Module):
     eps: float = 1e-5
     affine: bool = True
     trainable: bool = True
+    weight_init: Any = None
+    bias_init: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -145,10 +147,10 @@ class GroupNorm(nn.Module):
         var = jnp.var(xg, axis=(1, 3), keepdims=True)
         y = ((xg - mean) * jax.lax.rsqrt(var + self.eps)).reshape(shape)
         if self.affine:
-            weight = create_param(self, "weight", _ones, (C,), self.trainable,
-                                  dtype=jnp.float32)
-            bias = create_param(self, "bias", _zeros, (C,), self.trainable,
-                                dtype=jnp.float32)
+            weight = create_param(self, "weight", self.weight_init or _ones,
+                                  (C,), self.trainable, dtype=jnp.float32)
+            bias = create_param(self, "bias", self.bias_init or _zeros,
+                                (C,), self.trainable, dtype=jnp.float32)
             y = y * weight + bias
         return y.astype(orig_dtype)
 
@@ -161,6 +163,8 @@ class LayerNorm(nn.Module):
     eps: float = 1e-5
     elementwise_affine: bool = True
     trainable: bool = True
+    weight_init: Any = None
+    bias_init: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -174,10 +178,10 @@ class LayerNorm(nn.Module):
         var = jnp.var(x32, axis=axes, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         if self.elementwise_affine:
-            weight = create_param(self, "weight", _ones, shape, self.trainable,
-                                  dtype=jnp.float32)
-            bias = create_param(self, "bias", _zeros, shape, self.trainable,
-                                dtype=jnp.float32)
+            weight = create_param(self, "weight", self.weight_init or _ones,
+                                  shape, self.trainable, dtype=jnp.float32)
+            bias = create_param(self, "bias", self.bias_init or _zeros,
+                                shape, self.trainable, dtype=jnp.float32)
             y = y * weight + bias
         return y.astype(orig_dtype)
 
@@ -201,6 +205,8 @@ class InstanceNorm2d(nn.Module):
     eps: float = 1e-5
     affine: bool = False
     trainable: bool = True
+    weight_init: Any = None
+    bias_init: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -212,9 +218,11 @@ class InstanceNorm2d(nn.Module):
         var = jnp.var(x32, axis=axes, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
         if self.affine:
-            weight = create_param(self, "weight", _ones, (self.num_features,),
-                                  self.trainable, dtype=jnp.float32)
-            bias = create_param(self, "bias", _zeros, (self.num_features,),
-                                self.trainable, dtype=jnp.float32)
+            weight = create_param(self, "weight", self.weight_init or _ones,
+                                  (self.num_features,), self.trainable,
+                                  dtype=jnp.float32)
+            bias = create_param(self, "bias", self.bias_init or _zeros,
+                                (self.num_features,), self.trainable,
+                                dtype=jnp.float32)
             y = y * weight + bias
         return y.astype(orig_dtype)

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import copy
 import re
+from collections.abc import Mapping
 from typing import Any, Dict, Optional, Tuple
 
 from ..core.registry_hub import (ACTIVATION, BACKBONE, CONVOLUTION, DECODEHEAD,
@@ -25,6 +26,16 @@ from ..registry import Register
 # modules buildable through build_module_from_cfg (reference models/builder.py:363-406)
 _MODULE = (BACKBONE, NECK, DECODEHEAD, LOSS)
 
+def _plain(obj):
+    """Recursively convert Mapping (incl. flax FrozenDict fields) → dict."""
+    if isinstance(obj, Mapping):
+        return {k: _plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return type(obj)(_plain(v) for v in obj)
+    return obj
+
+
+
 
 def build_conv_layer(cfg: Optional[Dict], *args, **kwargs):
     """Build a convolution layer; ``cfg=None`` → Conv2d default
@@ -32,9 +43,9 @@ def build_conv_layer(cfg: Optional[Dict], *args, **kwargs):
     if cfg is None:
         cfg_ = dict(type="Conv2d")
     else:
-        if not isinstance(cfg, dict) or "type" not in cfg:
+        if not isinstance(cfg, Mapping) or "type" not in cfg:
             raise KeyError(f'cfg must be a dict containing "type", got {cfg}')
-        cfg_ = copy.deepcopy(cfg)
+        cfg_ = _plain(cfg)
     layer_type = cfg_.pop("type")
     conv_layer = CONVOLUTION.get(layer_type)
     return conv_layer(*args, **kwargs, **cfg_)
@@ -63,9 +74,9 @@ def build_norm_layer(cfg: Dict, num_features: int,
     parameter freezing (→ ``trainable``), ``eps`` defaults to 1e-5, GroupNorm
     requires ``num_groups`` and receives channels as ``num_channels``.
     """
-    if not isinstance(cfg, dict) or "type" not in cfg:
+    if not isinstance(cfg, Mapping) or "type" not in cfg:
         raise KeyError(f'cfg must be a dict containing "type", got {cfg}')
-    cfg_ = copy.deepcopy(cfg)
+    cfg_ = _plain(cfg)
     layer_type = cfg_.pop("type")
     norm_layer = NORMALIZATION.get(layer_type)
     abbr = infer_norm_abbr(norm_layer.__name__)
@@ -85,34 +96,34 @@ def build_norm_layer(cfg: Dict, num_features: int,
 
 def build_activation_layer(cfg: Dict):
     """Build an activation module (reference models/builder.py:183-205)."""
-    if not isinstance(cfg, dict) or "type" not in cfg:
+    if not isinstance(cfg, Mapping) or "type" not in cfg:
         raise KeyError(f'cfg must be a dict containing "type", got {cfg}')
-    cfg_ = copy.deepcopy(cfg)
+    cfg_ = _plain(cfg)
     return ACTIVATION.get(cfg_.pop("type"))(**cfg_)
 
 
 def build_padding_layer(cfg: Dict, *args, **kwargs):
     """Build a padding module (reference models/builder.py:208-232)."""
-    if not isinstance(cfg, dict) or "type" not in cfg:
+    if not isinstance(cfg, Mapping) or "type" not in cfg:
         raise KeyError(f'cfg must be a dict containing "type", got {cfg}')
-    cfg_ = copy.deepcopy(cfg)
+    cfg_ = _plain(cfg)
     padding_type = cfg_.pop("type")
     return PADDING.get(padding_type)(*args, **kwargs, **cfg_)
 
 
 def build_dropout(cfg: Dict):
     """Build a dropout module (reference models/builder.py:235-256)."""
-    if not isinstance(cfg, dict) or "type" not in cfg:
+    if not isinstance(cfg, Mapping) or "type" not in cfg:
         raise KeyError(f'cfg must be a dict containing "type", got {cfg}')
-    cfg_ = copy.deepcopy(cfg)
+    cfg_ = _plain(cfg)
     return DROPOUT.get(cfg_.pop("type"))(**cfg_)
 
 
 def build_loss(cfg: Dict):
     """Build a loss callable (reference models/builder.py:262-283)."""
-    if not isinstance(cfg, dict) or "type" not in cfg:
+    if not isinstance(cfg, Mapping) or "type" not in cfg:
         raise KeyError(f'cfg must be a dict containing "type", got {cfg}')
-    cfg_ = copy.deepcopy(cfg)
+    cfg_ = _plain(cfg)
     return LOSS.get(cfg_.pop("type"))(**cfg_)
 
 
@@ -132,9 +143,9 @@ def build_plugin_layer(cfg: Dict, postfix: Any = "",
                        **kwargs) -> Tuple[str, Any]:
     """Build a plugin layer, returning ``(name, layer)``
     (reference models/builder.py:329-360)."""
-    if not isinstance(cfg, dict) or "type" not in cfg:
+    if not isinstance(cfg, Mapping) or "type" not in cfg:
         raise KeyError(f'cfg must be a dict containing "type", got {cfg}')
-    cfg_ = copy.deepcopy(cfg)
+    cfg_ = _plain(cfg)
     layer_type = cfg_.pop("type")
     plugin_layer = PLUGINS.get(layer_type)
     abbr = infer_plugin_abbr(plugin_layer.__name__)
@@ -151,7 +162,7 @@ def build_module_from_cfg(cfg: Dict, registry: Register,
     Mirrors reference models/builder.py:363-406 including the registry
     restriction to the ``_MODULE`` tuple (:382).
     """
-    if not isinstance(cfg, dict):
+    if not isinstance(cfg, Mapping):
         raise TypeError(f"cfg must be a dict, but got {type(cfg)}")
     if "type" not in cfg and (default_args is None or "type" not in default_args):
         raise KeyError(f'`cfg` or `default_args` must contain the key "type", '
@@ -160,7 +171,7 @@ def build_module_from_cfg(cfg: Dict, registry: Register,
         raise TypeError(
             f"registry must be one of {tuple(r.name for r in _MODULE)}, "
             f"but got {registry.name}")
-    args = copy.deepcopy(cfg)
+    args = _plain(cfg)
     if default_args is not None:
         for name, value in default_args.items():
             args.setdefault(name, value)
@@ -171,9 +182,9 @@ def build_module_from_cfg(cfg: Dict, registry: Register,
 
 def build_segmentor(cfg: Dict):
     """Build a segmentor (reference models/builder.py:409-424)."""
-    if not isinstance(cfg, dict) or "type" not in cfg:
+    if not isinstance(cfg, Mapping) or "type" not in cfg:
         raise KeyError(f'cfg must be a dict containing "type", got {cfg}')
-    cfg_ = copy.deepcopy(cfg)
+    cfg_ = _plain(cfg)
     return SEGMENTOR.get(cfg_.pop("type"))(**cfg_)
 
 

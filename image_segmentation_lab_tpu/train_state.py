@@ -1,0 +1,128 @@
+"""Train state + compiled train/eval steps.
+
+The TPU-native replacement for the reference's epoch loop internals
+(``utils/train_utils.py:31-103``): one ``TrainState`` pytree (params,
+frozen params, BN statistics, optax state, step counter) and a single jitted
+``train_step`` = forward → loss-sum → grad → optax update → BN-stat update,
+with donated buffers.  The reference's GradScaler/autocast pair
+(train.py:117, train_utils.py:85-91) is replaced by the bf16 dtype policy
+(see ``core/mixed_precision``): layers compute in bf16, params/optimizer
+state stay fp32, no loss scaling needed.
+
+``parse_losses`` keeps the reference contract (train_utils.py:31-74): total
+loss = sum of entries whose key contains 'loss'; every entry is mean-reduced
+into the log dict.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    frozen_params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    def variables(self) -> Dict[str, Any]:
+        out = {"params": self.params}
+        if self.frozen_params:
+            out["frozen_params"] = self.frozen_params
+        if self.batch_stats:
+            out["batch_stats"] = self.batch_stats
+        return out
+
+
+def parse_losses(losses: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict]:
+    """Sum 'loss'-keyed entries; mean-log everything
+    (reference train_utils.py:31-74).  Under pjit the means are already
+    global, so the reference's distributed allreduce branch is implicit."""
+    log_vars = {}
+    for name, value in losses.items():
+        log_vars[name] = jnp.mean(jnp.asarray(value))
+    loss = sum(v for k, v in log_vars.items() if "loss" in k)
+    log_vars["loss"] = loss
+    return loss, log_vars
+
+
+def create_train_state(model, rng, sample_img, sample_gt,
+                       tx: optax.GradientTransformation) -> TrainState:
+    """Initialize variables + optimizer state."""
+    rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
+    variables = model.init(rngs, sample_img, sample_gt, img_metas={},
+                           rescale=False, return_loss=True, train=True)
+    params = variables.get("params", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        frozen_params=variables.get("frozen_params", {}),
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params))
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    batch = (img (N,H,W,C) float, gt (N,H,W) int).  Returns
+    (new_state, log_vars).  The whole step — including BN stat updates and
+    the optimizer — is one XLA program; buffers are donated so params update
+    in place in HBM.
+    """
+
+    def train_step(state: TrainState, img, gt, dropout_rng):
+        def loss_fn(params):
+            variables = {"params": params,
+                         "frozen_params": state.frozen_params,
+                         "batch_stats": state.batch_stats}
+            (seg_logits, losses), mutated = model.apply(
+                variables, img, gt, img_metas={}, rescale=False,
+                return_loss=True, train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"])
+            loss, log_vars = parse_losses(losses)
+            return loss, (mutated, log_vars)
+
+        grads, (mutated, log_vars) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=mutated.get("batch_stats", state.batch_stats))
+        return new_state, log_vars
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None):
+    """Jitted validation step: losses + per-head probabilities.
+
+    Mirrors ``validate_one_epoch``'s per-batch model call
+    (reference train_utils.py:106-137) — forward with loss, then per-head
+    sigmoid/softmax probabilities for the evaluator, optionally rescaled to a
+    static uniform ``ori_img_size_hw``.
+    """
+
+    def eval_step(state: TrainState, img, gt):
+        variables = state.variables()
+        meta = {"ori_img_size_hw": rescale_size} if rescale_size else {}
+        (seg_logits, losses), _ = model.apply(
+            variables, img, gt, img_metas=meta,
+            rescale=rescale_size is not None, return_loss=True, train=False,
+            mutable=[])
+        _, log_vars = parse_losses(losses)
+        return seg_logits, log_vars
+
+    return jax.jit(eval_step)

@@ -1,0 +1,171 @@
+"""Golden-parity tests of losses against torch formulas."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from image_segmentation_lab_tpu.models.losses import (CrossEntropyLoss,
+                                                      DiceLoss, LovaszLoss,
+                                                      TverskyLoss, accuracy)
+
+
+def _rand(rng, *shape):
+    return rng.randn(*shape).astype(np.float32)
+
+
+def test_softmax_ce_matches_torch(rng):
+    pred = _rand(rng, 2, 8, 8, 4)
+    label = rng.randint(0, 4, (2, 8, 8))
+    label[0, :2] = 255  # ignored region
+    loss_fn = CrossEntropyLoss(use_sigmoid=False)
+    out = loss_fn(jnp.asarray(pred), jnp.asarray(label), ignore_index=255)
+    ref = TF.cross_entropy(torch.tensor(np.transpose(pred, (0, 3, 1, 2))),
+                           torch.tensor(label).long(), reduction="none",
+                           ignore_index=255).mean()
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+
+def test_softmax_ce_avg_non_ignore(rng):
+    pred = _rand(rng, 2, 8, 8, 4)
+    label = rng.randint(0, 4, (2, 8, 8))
+    label[:, :4] = 255
+    loss_fn = CrossEntropyLoss(use_sigmoid=False, avg_non_ignore=True)
+    out = loss_fn(jnp.asarray(pred), jnp.asarray(label), ignore_index=255)
+    ref = TF.cross_entropy(torch.tensor(np.transpose(pred, (0, 3, 1, 2))),
+                           torch.tensor(label).long(), reduction="mean",
+                           ignore_index=255)
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-4)
+
+
+def test_binary_ce_one_channel(rng):
+    pred = _rand(rng, 2, 8, 8, 1)
+    label = rng.randint(0, 2, (2, 8, 8))
+    loss_fn = CrossEntropyLoss(use_sigmoid=True)
+    out = loss_fn(jnp.asarray(pred), jnp.asarray(label), ignore_index=255)
+    ref = TF.binary_cross_entropy_with_logits(
+        torch.tensor(pred[..., 0]), torch.tensor(label).float(),
+        reduction="none").mean()
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+
+def test_binary_ce_multichannel_onehot(rng):
+    """use_sigmoid with C>1 → one-hot expansion + valid-mask weighting."""
+    pred = _rand(rng, 2, 4, 4, 3)
+    label = rng.randint(0, 3, (2, 4, 4))
+    label[0, 0, 0] = 255
+    loss_fn = CrossEntropyLoss(use_sigmoid=True)
+    out = loss_fn(jnp.asarray(pred), jnp.asarray(label), ignore_index=255)
+
+    tlabel = torch.tensor(label).long()
+    valid = (tlabel >= 0) & (tlabel != 255)
+    onehot = torch.zeros(2, 4, 4, 3)
+    onehot[valid] = TF.one_hot(tlabel[valid], 3).float()
+    raw = TF.binary_cross_entropy_with_logits(
+        torch.tensor(pred), onehot, reduction="none")
+    ref = (raw * valid.unsqueeze(-1)).mean()
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+
+def test_dice_loss_formula(rng):
+    pred = _rand(rng, 2, 6, 6, 3)
+    label = rng.randint(0, 3, (2, 6, 6))
+    loss_fn = DiceLoss(ignore_index=255)
+    out = float(loss_fn(jnp.asarray(pred), jnp.asarray(label)))
+
+    probs = TF.softmax(torch.tensor(pred), dim=-1).numpy()
+    onehot = np.eye(3)[label]
+    total = 0.0
+    for n in range(2):
+        per_img = 0.0
+        for c in range(3):
+            p, t = probs[n, ..., c].ravel(), onehot[n, ..., c].ravel()
+            num = 2 * (p * t).sum() + 1
+            den = (p ** 2).sum() + (t ** 2).sum() + 1
+            per_img += 1 - num / den
+        total += per_img / 3
+    np.testing.assert_allclose(out, total / 2, rtol=1e-5)
+
+
+def test_tversky_formula(rng):
+    pred = _rand(rng, 2, 5, 5, 2)
+    label = rng.randint(0, 2, (2, 5, 5))
+    alpha, beta, smooth = 0.3, 0.7, 1.0
+    tv = TverskyLoss(alpha=alpha, beta=beta, smooth=smooth, ignore_index=255)
+    out = float(tv(jnp.asarray(pred), jnp.asarray(label)))
+
+    probs = TF.softmax(torch.tensor(pred), dim=-1).numpy()
+    onehot = np.eye(2)[label]
+    total = 0.0
+    for n in range(2):
+        per_img = 0.0
+        for c in range(2):
+            p, t = probs[n, ..., c].ravel(), onehot[n, ..., c].ravel()
+            TP = (p * t).sum()
+            FP = (p * (1 - t)).sum()
+            FN = ((1 - p) * t).sum()
+            per_img += 1 - (TP + smooth) / (TP + alpha * FP + beta * FN + smooth)
+        total += per_img / 2
+    np.testing.assert_allclose(out, total / 2, rtol=1e-5)
+
+
+def test_lovasz_softmax_known_case():
+    """Perfect prediction → zero loss; worst prediction → 1 per present class."""
+    pred = jnp.asarray(np.array([[[[9.0, -9.0], [-9.0, 9.0]]]]))  # (1,1,2,2)→
+    pred = pred.reshape(1, 2, 2, 1)
+    pred = jnp.concatenate([pred, -pred], axis=-1)  # class0 logits, class1
+    label = jnp.asarray(np.array([[[0, 1], [1, 0]]]))
+    # softmax(9,-9)≈(1,0) → predicted class 0 where label alternates
+    loss_fn = LovaszLoss(per_image=False, reduction="none")
+    label_perfect = jnp.asarray(np.array([[[0, 0], [0, 0]]]))
+    # exact match on class 0 everywhere
+    val = float(loss_fn(pred * 0 + jnp.asarray([9.0, -9.0]), label_perfect))
+    assert val < 1e-3
+    val_bad = float(loss_fn(pred * 0 + jnp.asarray([-9.0, 9.0]), label_perfect))
+    assert val_bad > 0.9
+
+
+def test_lovasz_ignore_matches_explicit_filtering(rng):
+    """Masked-sort ignore handling == physically removing ignored pixels."""
+    pred = _rand(rng, 1, 6, 6, 3)
+    label = rng.randint(0, 3, (1, 6, 6))
+    label[0, :2] = 255
+    loss_fn = LovaszLoss(per_image=False, reduction="none")
+    out = float(loss_fn(jnp.asarray(pred), jnp.asarray(label),
+                        ignore_index=255))
+    # explicit filtering reference
+    probs = TF.softmax(torch.tensor(pred.reshape(-1, 3)), dim=-1).numpy()
+    flat_label = label.reshape(-1)
+    keep = flat_label != 255
+    p, l = probs[keep], flat_label[keep]
+    losses, present = [], 0
+    for c in range(3):
+        fg = (l == c).astype(np.float64)
+        if fg.sum() == 0:
+            continue
+        present += 1
+        errors = np.abs(fg - p[:, c])
+        order = np.argsort(-errors)
+        e, f = errors[order], fg[order]
+        gts = f.sum()
+        inter = gts - np.cumsum(f)
+        union = gts + np.cumsum(1 - f)
+        jac = 1 - inter / union
+        jac[1:] = jac[1:] - jac[:-1]
+        losses.append((np.maximum(e, 0) * jac).sum())
+    ref = sum(losses) / present
+    np.testing.assert_allclose(out, ref, rtol=1e-4)
+
+
+def test_accuracy_matches_manual(rng):
+    pred = _rand(rng, 2, 4, 4, 3)
+    label = rng.randint(0, 3, (2, 4, 4))
+    label[0, 0] = 255
+    out = float(accuracy(jnp.asarray(pred), jnp.asarray(label),
+                         ignore_index=255))
+    am = pred.argmax(-1)
+    valid = label != 255
+    ref = (am[valid] == label[valid]).mean() * 100
+    np.testing.assert_allclose(out, ref, rtol=1e-3)
