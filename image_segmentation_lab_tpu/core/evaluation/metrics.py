@@ -1,0 +1,304 @@
+"""SegEvaluator — confusion-matrix segmentation metrics.
+
+Parity target: reference ``core/evaluation/metrics.py`` (482 LoC):
+``process(batch_idx, pred_batch, batch_infos)`` per-head argmax +
+intersect/union accumulation (:85-124, :210-270), ``compute_metrics`` →
+``seg_metrics`` per head (:126-208), ``total_area_to_metrics`` computing
+aAcc/IoU/Acc/Dice/Fscore/Precision/Recall with nan_to_num and beta
+(:272-356), per-class ASCII table, prediction-overlay collages for the first
+4 batches (:358-482).
+
+TPU-native redesign of the accumulation:
+
+* uniform-size batches (``ori_img_size_hw`` tuple): intersect/union
+  histograms are computed **on device** by one jitted bincount kernel over
+  the whole batch and accumulated as running sums — the reference instead
+  loops per image moving tensors between devices (metrics.py:246-265);
+* per-image sizes (list): logits are rescaled per image on the host with the
+  exact same bilinear weights as the device resize (no per-shape recompiles),
+  then histogrammed with numpy.
+
+Both paths produce identical totals; `seg_metrics` math matches the
+reference bit for bit in float64.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fileio import imwrite, mkdir_or_exist
+from .table import AsciiTable
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _batch_confusion(pred: jnp.ndarray, gt: jnp.ndarray,
+                     num_classes: int, ignore_index: int):
+    """On-device (intersect, pred-hist, label-hist) for a batch of label maps."""
+    valid = gt != ignore_index
+    gt_c = jnp.clip(gt, 0, num_classes - 1)
+    pred_c = jnp.clip(pred, 0, num_classes - 1)
+    inter_mask = valid & (pred == gt)
+
+    def hist(values, mask):
+        oh = jax.nn.one_hot(values, num_classes, dtype=jnp.float32)
+        return jnp.sum(oh * mask[..., None].astype(jnp.float32),
+                       axis=tuple(range(values.ndim)))
+
+    area_inter = hist(pred_c, inter_mask)
+    area_pred = hist(pred_c, valid & (pred >= 0) & (pred < num_classes))
+    area_label = hist(gt_c, valid & (gt >= 0) & (gt < num_classes))
+    return area_inter, area_pred, area_label
+
+
+def _np_hist(values, num_classes):
+    return np.bincount(values, minlength=num_classes)[:num_classes].astype(
+        np.float64)
+
+
+def resize_logits_np(logits: np.ndarray, size, align_corners: bool = False):
+    """Host bilinear resize of (H,W,C) logits, identical weights to
+    ``utils.ops.resize_bilinear``."""
+    from ...utils.ops import _bilinear_1d_weights
+    H, W, C = logits.shape
+    h, w = size
+    if (H, W) == (h, w):
+        return logits
+    i0, i1, wh = _bilinear_1d_weights(H, h, align_corners)
+    x = logits[i0] * (1 - wh)[:, None, None] + logits[i1] * wh[:, None, None]
+    j0, j1, ww = _bilinear_1d_weights(W, w, align_corners)
+    return x[:, j0] * (1 - ww)[None, :, None] + x[:, j1] * ww[None, :, None]
+
+
+class SegEvaluator:
+    """See module docstring; ctor args mirror reference metrics.py:52-83."""
+
+    def __init__(self,
+                 epoch: int,
+                 num_classes: int,
+                 class_names: List[str],
+                 palette: Sequence[Sequence[int]],
+                 ignore_index: int = 255,
+                 iou_metrics: List[str] = ("mIoU", "mDice", "mFscore"),
+                 nan_to_num: Optional[int] = None,
+                 beta: int = 1,
+                 show_result: bool = True,
+                 output_dir: Optional[str] = None,
+                 format_only: bool = False,
+                 prefix: Optional[str] = None,
+                 align_corners: bool = False,
+                 **kwargs) -> None:
+        self.epoch = epoch
+        self.num_classes = num_classes
+        self.class_names = list(class_names)
+        self.palette = palette
+        self.ignore_index = ignore_index
+        self.metrics = list(iou_metrics)
+        self.nan_to_num = nan_to_num
+        self.beta = beta
+        self.show_result = show_result
+        self.output_dir = output_dir
+        self.prefix = prefix
+        self.format_only = format_only
+        self.align_corners = align_corners
+        if self.output_dir:
+            mkdir_or_exist(self.output_dir)
+        # per-head running sums: [inter, union, pred, label]
+        self.results: Dict[str, List[np.ndarray]] = {}
+
+    # ------------------------------------------------------------ process
+    def _accumulate(self, head: str, inter, pred, label):
+        union = label + pred - inter
+        if head not in self.results:
+            self.results[head] = [np.zeros(self.num_classes, np.float64)
+                                  for _ in range(4)]
+        sums = self.results[head]
+        sums[0] += np.asarray(inter, np.float64)
+        sums[1] += np.asarray(union, np.float64)
+        sums[2] += np.asarray(pred, np.float64)
+        sums[3] += np.asarray(label, np.float64)
+
+    def process(self, batch_idx: int,
+                pred_batch: Dict[str, Any],
+                batch_infos: Dict[str, Any]) -> None:
+        """pred_batch: per-head logits — (N,H,W,C) array (uniform sizes,
+        already rescaled) or list of (1,h_i,w_i,C) arrays (per-image sizes).
+        batch_infos must carry ``ori_gt``."""
+        labels = batch_infos["ori_gt"]
+        preds_for_plot = {}
+        for head, value in pred_batch.items():
+            if isinstance(value, dict):  # aux ModuleList case {idx: logits}
+                for sub, v in value.items():
+                    self._process_one(f"{head}_{sub}", v, labels,
+                                      preds_for_plot)
+                continue
+            self._process_one(head, value, labels, preds_for_plot)
+
+        if self.show_result and batch_idx < 4 and self.output_dir:
+            self.plot_results(batch_idx, preds_for_plot, batch_infos)
+
+    def _process_one(self, head, value, labels, preds_for_plot):
+        if not isinstance(value, (list, tuple)) and isinstance(labels, list):
+            # uniform logits but ragged ground truths → per-image host path
+            arr = np.asarray(jax.device_get(value))
+            value = [arr[i] for i in range(len(labels))]
+        if isinstance(value, (list, tuple)):
+            # per-image original sizes
+            plot_preds = []
+            for i, logit in enumerate(value):
+                logit = np.asarray(jax.device_get(logit))
+                if logit.ndim == 4:
+                    logit = logit[0]
+                gt = np.asarray(labels[i]).astype(np.int64)
+                if logit.shape[:2] != gt.shape:
+                    logit = resize_logits_np(logit, gt.shape,
+                                             self.align_corners)
+                pred = logit.argmax(-1).astype(np.int64)
+                plot_preds.append(pred)
+                valid = gt != self.ignore_index
+                p, g = pred[valid], gt[valid]
+                inter = _np_hist(p[p == g], self.num_classes)
+                self._accumulate(head, inter, _np_hist(p, self.num_classes),
+                                 _np_hist(g, self.num_classes))
+            preds_for_plot[head] = plot_preds
+        else:
+            logits = jnp.asarray(value)
+            gt = jnp.asarray(np.asarray(labels)).astype(jnp.int32)
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            inter, pred_h, label_h = _batch_confusion(
+                pred, gt, self.num_classes, self.ignore_index)
+            self._accumulate(head, inter, pred_h, label_h)
+            preds_for_plot[head] = np.asarray(jax.device_get(pred))
+
+    # ------------------------------------------------------- compute
+    def compute_metrics(self):
+        """(reference metrics.py:126-137)."""
+        metrics_results = {}
+        for head, sums in self.results.items():
+            print(f"-------------------------{head}-------------------------")
+            metrics_results[head] = self.seg_metrics(sums)
+        return metrics_results
+
+    def seg_metrics(self, sums: List[np.ndarray]) -> Dict[str, Any]:
+        """(reference metrics.py:140-208)."""
+        assert len(sums) == 4
+        ret_metrics = self.total_area_to_metrics(
+            sums[0], sums[1], sums[2], sums[3], self.metrics,
+            self.nan_to_num, self.beta)
+
+        with np.errstate(invalid="ignore"):
+            ret_metrics_summary = OrderedDict({
+                k: np.round(np.nanmean(v) * 100, 2)
+                for k, v in ret_metrics.items()})
+        metrics = {}
+        for key, val in ret_metrics_summary.items():
+            metrics[key if key == "aAcc" else "m" + key] = val
+
+        ret_metrics.pop("aAcc", None)
+        ret_metrics_class = OrderedDict({
+            k: np.round(np.asarray(v) * 100, 2)
+            for k, v in ret_metrics.items()})
+        table = AsciiTable()
+        table.add_column("Class", self.class_names)
+        ignored_name = self.class_names[self.ignore_index] \
+            if -len(self.class_names) <= self.ignore_index < len(
+                self.class_names) else None
+        for key, val in ret_metrics_class.items():
+            if key != ignored_name:
+                table.add_column(key, val)
+        print("\n" + table.get_string())
+        metrics.update(ret_metrics_class)
+        return metrics
+
+    @staticmethod
+    def total_area_to_metrics(total_area_intersect,
+                              total_area_union,
+                              total_area_pred_label,
+                              total_area_label,
+                              metrics: Union[str, List[str]] = ("mIoU",),
+                              nan_to_num: Optional[int] = None,
+                              beta: int = 1):
+        """(reference metrics.py:272-356, identical formulas in float64)."""
+
+        def f_score(precision, recall, beta=1):
+            return ((1 + beta ** 2) * (precision * recall)
+                    / ((beta ** 2 * precision) + recall))
+
+        if isinstance(metrics, str):
+            metrics = [metrics]
+        allowed = {"mIoU", "mDice", "mFscore"}
+        if not set(metrics).issubset(allowed):
+            raise KeyError(f"metrics {metrics} is not supported")
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            all_acc = total_area_intersect.sum() / total_area_label.sum()
+            ret = OrderedDict({"aAcc": all_acc})
+            for metric in metrics:
+                if metric == "mIoU":
+                    ret["IoU"] = total_area_intersect / total_area_union
+                    ret["Acc"] = total_area_intersect / total_area_label
+                elif metric == "mDice":
+                    ret["Dice"] = (2 * total_area_intersect /
+                                   (total_area_pred_label + total_area_label))
+                    ret["Acc"] = total_area_intersect / total_area_label
+                elif metric == "mFscore":
+                    precision = total_area_intersect / total_area_pred_label
+                    recall = total_area_intersect / total_area_label
+                    ret["Fscore"] = f_score(precision, recall, beta)
+                    ret["Precision"] = precision
+                    ret["Recall"] = recall
+        if nan_to_num is not None:
+            ret = OrderedDict({
+                k: np.nan_to_num(v, nan=nan_to_num) for k, v in ret.items()})
+        return ret
+
+    # ------------------------------------------------------- plotting
+    def plot_results(self, batch_idx, preds_by_head, batch_infos,
+                     max_images: int = 16, canvas_width: int = 1920):
+        """Palette-colored prediction collage per head, saved as
+        ``pred_epoch_{e}_batch_{b}_{head}.jpg``
+        (reference metrics.py:358-482)."""
+        palette = np.asarray(self.palette, np.uint8)
+        for head, preds in preds_by_head.items():
+            if isinstance(preds, np.ndarray):
+                preds = list(preds)
+            preds = preds[:max_images]
+            if not preds:
+                continue
+            n = len(preds)
+            cols = int(np.ceil(np.sqrt(n)))
+            rows = int(np.ceil(n / cols))
+            cell_w = canvas_width // cols
+            tiles = []
+            for r in range(rows):
+                row_tiles = []
+                for c in range(cols):
+                    i = r * cols + c
+                    if i < n:
+                        pred = np.asarray(preds[i]).astype(np.int64)
+                        color = palette[np.clip(pred, 0, len(palette) - 1)]
+                        h, w = color.shape[:2]
+                        scale = cell_w / w
+                        new_h = max(int(h * scale), 1)
+                        idx_r = np.clip((np.arange(new_h) / scale).astype(int),
+                                        0, h - 1)
+                        idx_c = np.clip((np.arange(cell_w) / scale).astype(int),
+                                        0, w - 1)
+                        row_tiles.append(color[idx_r][:, idx_c])
+                    else:
+                        row_tiles.append(np.zeros_like(row_tiles[0]))
+                hmax = max(t.shape[0] for t in row_tiles)
+                row_tiles = [np.pad(t, ((0, hmax - t.shape[0]), (0, 0),
+                                        (0, 0))) for t in row_tiles]
+                tiles.append(np.concatenate(row_tiles, axis=1))
+            canvas = np.concatenate(tiles, axis=0)
+            out = f"{self.output_dir}/pred_epoch_{self.epoch}_batch_" \
+                  f"{batch_idx}_{head}.jpg"
+            imwrite(canvas[..., ::-1], out)

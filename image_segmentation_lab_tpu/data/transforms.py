@@ -1,0 +1,568 @@
+"""On-device augmentation transforms.
+
+The reference runs albumentations on CPU worker processes
+(core/dataset/custom.py:88 loads the pipeline from YAML;
+configs/augmentation/*.yaml define it).  This module re-implements every
+transform those YAMLs use as **pure JAX ops over batched NHWC tensors**, so
+the whole augmentation pipeline fuses into the training step's XLA program
+and runs on-device (north star: "fused batched on-device preprocessing",
+BASELINE.json).
+
+Contracts:
+
+* A transform is ``t(key, img, mask) -> (img, mask)`` on a SINGLE image
+  (H,W,C float32, values 0..255 pre-Normalize) + mask (H,W float32);
+  the Pipeline vmaps over the batch with per-sample keys.
+* Randomness comes only from the key (distribution-level parity with
+  albumentations — SURVEY.md §7 hard part (c)).
+* ``p``-gating computes the transformed branch and selects with
+  ``jnp.where`` — both branches run, which is the right trade on TPU (no
+  divergent control flow; the VPU eats elementwise work).
+* Shape-changing transforms (Resize/RandomCrop/PadIfNeeded) must have p=1.
+* GlassBlur is approximated by iterated local pixel displacement with the
+  same sigma/max_delta parameters (the exact albumentations algorithm is a
+  sequential gather loop; the approximation matches its blur statistics).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.ops import resize_bilinear, resize_nearest
+
+Pair = Tuple[float, float]
+
+
+def _uniform(key, lo, hi):
+    return jax.random.uniform(key, (), jnp.float32, lo, hi)
+
+
+def _apply_p(key, p, new_img, new_mask, img, mask):
+    if p >= 1.0:
+        return new_img, new_mask
+    gate = jax.random.bernoulli(key, p)
+    return (jnp.where(gate, new_img, img), jnp.where(gate, new_mask, mask))
+
+
+class Transform:
+    """Base transform; subclasses set fields from YAML kwargs."""
+
+    p: float = 0.5
+
+    def __init__(self, p: float = 0.5, **kwargs):
+        self.p = float(p)
+        self._extra = kwargs  # unknown albumentations fields are ignored
+
+    def output_shape(self, shape):
+        return shape
+
+    def apply(self, key, img, mask):
+        raise NotImplementedError
+
+    def __call__(self, key, img, mask):
+        k_gate, k_params = jax.random.split(key)
+        new_img, new_mask = self.apply(k_params, img, mask)
+        if new_img.shape != img.shape:
+            assert self.p >= 1.0, (
+                f"{type(self).__name__} changes shape; requires p=1")
+            return new_img, new_mask
+        return _apply_p(k_gate, self.p, new_img, new_mask, img, mask)
+
+
+class Compose(Transform):
+    def __init__(self, transforms: List[Transform], p: float = 1.0, **kw):
+        super().__init__(p=p)
+        self.transforms = transforms
+
+    def output_shape(self, shape):
+        for t in self.transforms:
+            shape = t.output_shape(shape)
+        return shape
+
+    def __call__(self, key, img, mask):
+        for i, t in enumerate(self.transforms):
+            img, mask = t(jax.random.fold_in(key, i), img, mask)
+        return img, mask
+
+
+class OneOf(Transform):
+    """Pick one child weighted by its p, then apply it unconditionally
+    (albumentations OneOf semantics), all gated by the OneOf's own p."""
+
+    def __init__(self, transforms: List[Transform], p: float = 1.0, **kw):
+        super().__init__(p=p)
+        self.transforms = transforms
+        ps = np.asarray([t.p for t in transforms], np.float32)
+        self.probs = ps / ps.sum()
+
+    def apply(self, key, img, mask):
+        k_choice, k_t = jax.random.split(key)
+        idx = jax.random.choice(k_choice, len(self.transforms),
+                                p=jnp.asarray(self.probs))
+        branches = [
+            (lambda t: lambda operands: t.apply(*operands))(t)
+            for t in self.transforms
+        ]
+        return jax.lax.switch(idx, branches, (k_t, img, mask))
+
+
+class Resize(Transform):
+    def __init__(self, height: int, width: int, interpolation: int = 1,
+                 mask_interpolation: int = 0, p: float = 1.0, **kw):
+        super().__init__(p=p)
+        self.height, self.width = int(height), int(width)
+        self.interpolation = interpolation
+        self.mask_interpolation = mask_interpolation
+
+    def output_shape(self, shape):
+        return (self.height, self.width) + tuple(shape[2:])
+
+    def apply(self, key, img, mask):
+        size = (self.height, self.width)
+        img4 = img[None]
+        img = (resize_bilinear(img4, size) if self.interpolation != 0
+               else resize_nearest(img4, size))[0]
+        if mask is not None:
+            m4 = mask[None, ..., None]
+            m4 = (resize_nearest(m4, size) if self.mask_interpolation == 0
+                  else resize_bilinear(m4, size))
+            mask = m4[0, ..., 0]
+        return img, mask
+
+
+class HorizontalFlip(Transform):
+    def apply(self, key, img, mask):
+        return img[:, ::-1, :], (mask[:, ::-1] if mask is not None else None)
+
+
+class VerticalFlip(Transform):
+    def apply(self, key, img, mask):
+        return img[::-1, :, :], (mask[::-1, :] if mask is not None else None)
+
+
+def _affine_sample(img, inv_matrix, center, fill, nearest=False):
+    """Sample img at inverse-affine-transformed coordinates (H,W grid)."""
+    H, W = img.shape[0], img.shape[1]
+    ys = jnp.arange(H, dtype=jnp.float32) - center[0]
+    xs = jnp.arange(W, dtype=jnp.float32) - center[1]
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    src_y = inv_matrix[0, 0] * yy + inv_matrix[0, 1] * xx + center[0]
+    src_x = inv_matrix[1, 0] * yy + inv_matrix[1, 1] * xx + center[1]
+    if nearest:
+        iy = jnp.round(src_y).astype(jnp.int32)
+        ix = jnp.round(src_x).astype(jnp.int32)
+        inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+        iy = jnp.clip(iy, 0, H - 1)
+        ix = jnp.clip(ix, 0, W - 1)
+        out = img[iy, ix]
+        return jnp.where(inb[..., None] if img.ndim == 3 else inb, out, fill)
+    y0 = jnp.floor(src_y).astype(jnp.int32)
+    x0 = jnp.floor(src_x).astype(jnp.int32)
+    wy = src_y - y0
+    wx = src_x - x0
+    out = 0.0
+    for dy, wyy in ((0, 1 - wy), (1, wy)):
+        for dx, wxx in ((0, 1 - wx), (1, wx)):
+            iy, ix = y0 + dy, x0 + dx
+            inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+            v = img[jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1)]
+            v = jnp.where(inb[..., None] if img.ndim == 3 else inb, v, fill)
+            w = (wyy * wxx)
+            out = out + v * (w[..., None] if img.ndim == 3 else w)
+    return out
+
+
+class Rotate(Transform):
+    def __init__(self, limit=(-90, 90), interpolation: int = 1,
+                 border_mode: int = 0, fill: float = 0.0,
+                 fill_mask: float = 0.0, mask_interpolation: int = 0,
+                 p: float = 0.5, **kw):
+        super().__init__(p=p)
+        self.limit = (limit, -limit) if isinstance(limit, (int, float)) \
+            else tuple(limit)
+        self.fill = fill
+        self.fill_mask = fill_mask
+
+    def apply(self, key, img, mask):
+        lo, hi = min(self.limit), max(self.limit)
+        angle = _uniform(key, lo, hi) * math.pi / 180.0
+        c, s = jnp.cos(angle), jnp.sin(angle)
+        inv = jnp.array([[c, -s], [s, c]])  # inverse rotation
+        center = ((img.shape[0] - 1) / 2.0, (img.shape[1] - 1) / 2.0)
+        img = _affine_sample(img, inv, center, self.fill)
+        if mask is not None:
+            mask = _affine_sample(mask, inv, center, self.fill_mask,
+                                  nearest=True)
+        return img, mask
+
+
+class RandomCrop(Transform):
+    def __init__(self, height: int, width: int, p: float = 1.0, **kw):
+        super().__init__(p=p)
+        self.height, self.width = int(height), int(width)
+
+    def output_shape(self, shape):
+        return (self.height, self.width) + tuple(shape[2:])
+
+    def apply(self, key, img, mask):
+        H, W = img.shape[0], img.shape[1]
+        ky, kx = jax.random.split(key)
+        y0 = jax.random.randint(ky, (), 0, max(H - self.height, 0) + 1)
+        x0 = jax.random.randint(kx, (), 0, max(W - self.width, 0) + 1)
+        img = jax.lax.dynamic_slice(
+            img, (y0, x0, 0), (self.height, self.width, img.shape[2]))
+        if mask is not None:
+            mask = jax.lax.dynamic_slice(mask, (y0, x0),
+                                         (self.height, self.width))
+        return img, mask
+
+
+class PadIfNeeded(Transform):
+    def __init__(self, min_height: int, min_width: int, fill: float = 0.0,
+                 fill_mask: float = 255.0, p: float = 1.0, **kw):
+        super().__init__(p=p)
+        self.min_height, self.min_width = int(min_height), int(min_width)
+        self.fill, self.fill_mask = fill, fill_mask
+
+    def output_shape(self, shape):
+        return (max(shape[0], self.min_height),
+                max(shape[1], self.min_width)) + tuple(shape[2:])
+
+    def apply(self, key, img, mask):
+        ph = max(self.min_height - img.shape[0], 0)
+        pw = max(self.min_width - img.shape[1], 0)
+        img = jnp.pad(img, ((ph // 2, ph - ph // 2),
+                            (pw // 2, pw - pw // 2), (0, 0)),
+                      constant_values=self.fill)
+        if mask is not None:
+            mask = jnp.pad(mask, ((ph // 2, ph - ph // 2),
+                                  (pw // 2, pw - pw // 2)),
+                           constant_values=self.fill_mask)
+        return img, mask
+
+
+def _depthwise_blur(img, kernel2d):
+    """Apply a (K,K) kernel per-channel on an (H,W,C) image.
+
+    Borders use reflect-101 padding (cv2's BORDER_DEFAULT, which
+    albumentations' blurs inherit) — zero padding would darken edges.
+    """
+    kh, kw = kernel2d.shape
+    ph, pw = kh // 2, kw // 2
+    x = jnp.pad(img, ((ph, ph), (pw, pw), (0, 0)), mode="reflect")[None]
+    k = kernel2d[:, :, None, None]  # HWIO with I=1
+    out = jax.lax.conv_general_dilated(
+        x, jnp.tile(k, (1, 1, 1, x.shape[-1])),
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, (kh, kw, 1, x.shape[-1]), ("NHWC", "HWIO", "NHWC")),
+        feature_group_count=x.shape[-1])
+    return out[0]
+
+
+def _masked_box_kernel(key, kmax: int, kmin: int, kmax_lim: int):
+    """Random odd-size box kernel embedded in a static (kmax,kmax) grid."""
+    # random odd size in [kmin, kmax_lim]
+    n_sizes = (kmax_lim - kmin) // 2 + 1
+    size = kmin + 2 * jax.random.randint(key, (), 0, n_sizes)
+    r = (size - 1) // 2
+    c = kmax // 2
+    ii = jnp.abs(jnp.arange(kmax) - c)
+    inside = (ii[:, None] <= r) & (ii[None, :] <= r)
+    kernel = inside.astype(jnp.float32)
+    return kernel / jnp.sum(kernel)
+
+
+class Blur(Transform):
+    def __init__(self, blur_limit=(3, 7), p: float = 0.5, **kw):
+        super().__init__(p=p)
+        lim = ((3, blur_limit) if isinstance(blur_limit, (int, float))
+               else tuple(int(v) for v in blur_limit))
+        self.kmin = max(int(lim[0]) | 1, 3)
+        self.kmax = int(lim[1]) | 1
+
+    def apply(self, key, img, mask):
+        kernel = _masked_box_kernel(key, self.kmax, self.kmin, self.kmax)
+        return _depthwise_blur(img, kernel), mask
+
+
+class GaussianBlur(Transform):
+    def __init__(self, blur_limit=(3, 7), sigma_limit=(0.0, 0.0),
+                 p: float = 0.5, **kw):
+        super().__init__(p=p)
+        self.kmax = (int(blur_limit[1]) if isinstance(blur_limit, (list, tuple))
+                     else int(blur_limit)) | 1
+        self.sigma_limit = sigma_limit
+
+    def apply(self, key, img, mask):
+        lo, hi = self.sigma_limit
+        if hi <= 0:
+            hi = 0.3 * ((self.kmax - 1) * 0.5 - 1) + 0.8
+            lo = max(lo, 0.3)
+        sigma = _uniform(key, lo, hi)
+        c = self.kmax // 2
+        xs = (jnp.arange(self.kmax) - c).astype(jnp.float32)
+        g = jnp.exp(-0.5 * (xs / sigma) ** 2)
+        kernel = g[:, None] * g[None, :]
+        kernel = kernel / jnp.sum(kernel)
+        return _depthwise_blur(img, kernel), mask
+
+
+class MotionBlur(Transform):
+    """Line kernel at a random angle (albumentations MotionBlur; the
+    allow_shifted/direction refinements are approximated by the centered
+    line — same blur length distribution)."""
+
+    def __init__(self, blur_limit=(3, 7), p: float = 0.5, **kw):
+        super().__init__(p=p)
+        lim = ((3, blur_limit) if isinstance(blur_limit, (int, float))
+               else tuple(int(v) for v in blur_limit))
+        self.kmin = max(int(lim[0]) | 1, 3)
+        self.kmax = int(lim[1]) | 1
+
+    def apply(self, key, img, mask):
+        k_size, k_angle = jax.random.split(key)
+        n_sizes = (self.kmax - self.kmin) // 2 + 1
+        size = self.kmin + 2 * jax.random.randint(k_size, (), 0, n_sizes)
+        r = (size - 1) / 2.0
+        angle = _uniform(k_angle, 0.0, math.pi)
+        c = self.kmax // 2
+        yy = jnp.arange(self.kmax)[:, None] - c
+        xx = jnp.arange(self.kmax)[None, :] - c
+        # distance from the line through center at `angle`
+        d_perp = jnp.abs(-jnp.sin(angle) * xx + jnp.cos(angle) * yy)
+        d_along = jnp.abs(jnp.cos(angle) * xx + jnp.sin(angle) * yy)
+        kernel = ((d_perp <= 0.5) & (d_along <= r)).astype(jnp.float32)
+        kernel = kernel / jnp.maximum(jnp.sum(kernel), 1.0)
+        return _depthwise_blur(img, kernel), mask
+
+
+class Defocus(Transform):
+    """Disk kernel + alias blur (albumentations Defocus)."""
+
+    def __init__(self, radius=(3, 10), alias_blur=(0.1, 0.5), p: float = 0.5,
+                 **kw):
+        super().__init__(p=p)
+        self.radius = (radius, radius) if isinstance(radius, int) else tuple(radius)
+        self.alias_blur = tuple(alias_blur)
+        self.kmax = 2 * int(self.radius[1]) + 1
+
+    def apply(self, key, img, mask):
+        k_r, k_a = jax.random.split(key)
+        r = jax.random.randint(k_r, (), self.radius[0], self.radius[1] + 1)
+        sigma = _uniform(k_a, *self.alias_blur)
+        c = self.kmax // 2
+        yy = jnp.arange(self.kmax)[:, None] - c
+        xx = jnp.arange(self.kmax)[None, :] - c
+        disk = (yy ** 2 + xx ** 2 <= r ** 2).astype(jnp.float32)
+        # alias blur: small gaussian smoothing of the disk
+        xs = (jnp.arange(5) - 2).astype(jnp.float32)
+        g = jnp.exp(-0.5 * (xs / jnp.maximum(sigma, 1e-3)) ** 2)
+        g2 = (g[:, None] * g[None, :])
+        g2 = g2 / g2.sum()
+        disk = _depthwise_blur(disk[:, :, None], g2)[:, :, 0]
+        kernel = disk / jnp.maximum(disk.sum(), 1e-6)
+        return _depthwise_blur(img, kernel), mask
+
+
+class GlassBlur(Transform):
+    """Approximation: ``iterations`` rounds of random local pixel
+    displacement within ``max_delta`` followed by a sigma gaussian — the
+    statistics of albumentations' sequential pixel-swap algorithm."""
+
+    def __init__(self, sigma: float = 0.7, max_delta: int = 4,
+                 iterations: int = 2, p: float = 0.5, mode: str = "fast",
+                 **kw):
+        super().__init__(p=p)
+        self.sigma = sigma
+        self.max_delta = int(max_delta)
+        self.iterations = int(iterations)
+
+    def apply(self, key, img, mask):
+        H, W = img.shape[0], img.shape[1]
+        out = img
+        for i in range(self.iterations):
+            k = jax.random.fold_in(key, i)
+            dy, dx = jax.random.randint(k, (2, H, W), -self.max_delta,
+                                        self.max_delta + 1)
+            iy = jnp.clip(jnp.arange(H)[:, None] + dy, 0, H - 1)
+            ix = jnp.clip(jnp.arange(W)[None, :] + dx, 0, W - 1)
+            out = out[iy, ix]
+        # final gaussian with self.sigma
+        ks = max(int(2 * round(2 * self.sigma) + 1), 3)
+        xs = (jnp.arange(ks) - ks // 2).astype(jnp.float32)
+        g = jnp.exp(-0.5 * (xs / self.sigma) ** 2)
+        kernel = g[:, None] * g[None, :]
+        kernel = kernel / kernel.sum()
+        return _depthwise_blur(out, kernel), mask
+
+
+class RandomBrightnessContrast(Transform):
+    def __init__(self, brightness_limit=(-0.2, 0.2),
+                 contrast_limit=(-0.2, 0.2), brightness_by_max: bool = True,
+                 p: float = 0.5, **kw):
+        super().__init__(p=p)
+        self.brightness_limit = tuple(brightness_limit) if isinstance(
+            brightness_limit, (list, tuple)) else (-brightness_limit,
+                                                   brightness_limit)
+        self.contrast_limit = tuple(contrast_limit) if isinstance(
+            contrast_limit, (list, tuple)) else (-contrast_limit,
+                                                 contrast_limit)
+        self.brightness_by_max = brightness_by_max
+
+    def apply(self, key, img, mask):
+        kb, kc = jax.random.split(key)
+        alpha = 1.0 + _uniform(kc, *self.contrast_limit)
+        beta = _uniform(kb, *self.brightness_limit)
+        img = img * alpha
+        if self.brightness_by_max:
+            img = img + beta * 255.0
+        else:
+            img = img + beta * jnp.mean(img)
+        return jnp.clip(img, 0.0, 255.0), mask
+
+
+class RandomGamma(Transform):
+    def __init__(self, gamma_limit=(80, 120), p: float = 0.5, **kw):
+        super().__init__(p=p)
+        self.gamma_limit = tuple(gamma_limit)
+
+    def apply(self, key, img, mask):
+        gamma = _uniform(key, *self.gamma_limit) / 100.0
+        img = 255.0 * (jnp.maximum(img / 255.0, 1e-8) ** gamma)
+        return jnp.clip(img, 0.0, 255.0), mask
+
+
+def _rgb_to_hsv(img):
+    return jax.vmap(jax.vmap(_rgb_to_hsv_px))(img)
+
+
+def _rgb_to_hsv_px(px):
+    r, g, b = px[0], px[1], px[2]
+    mx = jnp.max(px)
+    mn = jnp.min(px)
+    d = mx - mn
+    h = jnp.where(
+        d == 0, 0.0,
+        jnp.where(mx == r, ((g - b) / jnp.maximum(d, 1e-8)) % 6.0,
+                  jnp.where(mx == g, (b - r) / jnp.maximum(d, 1e-8) + 2.0,
+                            (r - g) / jnp.maximum(d, 1e-8) + 4.0))) * 60.0
+    s = jnp.where(mx == 0, 0.0, d / jnp.maximum(mx, 1e-8))
+    return jnp.stack([h, s, mx])
+
+
+def _hsv_to_rgb_px(px):
+    h, s, v = px[0] / 60.0, px[1], px[2]
+    c = v * s
+    x = c * (1 - jnp.abs(h % 2 - 1))
+    m = v - c
+    idx = jnp.floor(h).astype(jnp.int32) % 6
+    table = jnp.array([[0, 1, 2], [1, 0, 2], [2, 0, 1],
+                       [2, 1, 0], [1, 2, 0], [0, 2, 1]])
+    vals = jnp.stack([c, x, jnp.zeros(())])
+    return vals[table[idx]] + m
+
+
+def _hsv_to_rgb(img):
+    return jax.vmap(jax.vmap(_hsv_to_rgb_px))(img)
+
+
+class HueSaturationValue(Transform):
+    def __init__(self, hue_shift_limit=(-20, 20), sat_shift_limit=(-30, 30),
+                 val_shift_limit=(-20, 20), p: float = 0.5, **kw):
+        super().__init__(p=p)
+        def _pair(v):
+            return tuple(v) if isinstance(v, (list, tuple)) else (-v, v)
+        self.hue_shift_limit = _pair(hue_shift_limit)
+        self.sat_shift_limit = _pair(sat_shift_limit)
+        self.val_shift_limit = _pair(val_shift_limit)
+
+    def apply(self, key, img, mask):
+        kh, ks, kv = jax.random.split(key, 3)
+        hshift = _uniform(kh, *self.hue_shift_limit)      # degrees-ish (cv2 ~2°)
+        sshift = _uniform(ks, *self.sat_shift_limit)
+        vshift = _uniform(kv, *self.val_shift_limit)
+        hsv = _rgb_to_hsv(img / 255.0)
+        h = (hsv[..., 0] + hshift * 2.0) % 360.0  # cv2 hue unit = 2 degrees
+        s = jnp.clip(hsv[..., 1] + sshift / 255.0, 0.0, 1.0)
+        v = jnp.clip(hsv[..., 2] + vshift / 255.0, 0.0, 1.0)
+        out = _hsv_to_rgb(jnp.stack([h, s, v], axis=-1)) * 255.0
+        return jnp.clip(out, 0.0, 255.0), mask
+
+
+class ISONoise(Transform):
+    """Camera sensor noise: luma poisson-ish noise + chroma color shift."""
+
+    def __init__(self, color_shift=(0.01, 0.05), intensity=(0.1, 0.5),
+                 p: float = 0.5, **kw):
+        super().__init__(p=p)
+        self.color_shift = tuple(color_shift)
+        self.intensity = tuple(intensity)
+
+    def apply(self, key, img, mask):
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        intensity = _uniform(k1, *self.intensity)
+        color_shift = _uniform(k2, *self.color_shift)
+        x = img / 255.0
+        luma = jnp.mean(x, axis=-1, keepdims=True)
+        # poisson approx: gaussian with std sqrt(luma)
+        noise = jax.random.normal(k3, x.shape) * jnp.sqrt(
+            jnp.maximum(luma, 1e-6)) * intensity
+        hue_noise = jax.random.normal(k4, luma.shape) * color_shift * 360.0
+        hsv = _rgb_to_hsv(jnp.clip(x + noise, 0.0, 1.0))
+        h = (hsv[..., 0] + hue_noise[..., 0]) % 360.0
+        out = _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
+        return jnp.clip(out * 255.0, 0.0, 255.0), mask
+
+
+class Normalize(Transform):
+    def __init__(self, mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                 max_pixel_value: float = 255.0, p: float = 1.0, **kw):
+        super().__init__(p=p)
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.max_pixel_value = max_pixel_value
+
+    def apply(self, key, img, mask):
+        mean = jnp.asarray(self.mean) * self.max_pixel_value
+        std = jnp.asarray(self.std) * self.max_pixel_value
+        return (img - mean) / std, mask
+
+
+class ToTensorV2(Transform):
+    """Layout no-op: the reference converts HWC→CHW for torch; the TPU build
+    keeps channels-last (NHWC) end to end."""
+
+    def __init__(self, p: float = 1.0, transpose_mask: bool = False, **kw):
+        super().__init__(p=p)
+
+    def __call__(self, key, img, mask):
+        return img, mask
+
+
+TRANSFORMS: Dict[str, Any] = {
+    "Compose": Compose,
+    "OneOf": OneOf,
+    "Resize": Resize,
+    "Rotate": Rotate,
+    "HorizontalFlip": HorizontalFlip,
+    "VerticalFlip": VerticalFlip,
+    "RandomCrop": RandomCrop,
+    "PadIfNeeded": PadIfNeeded,
+    "Blur": Blur,
+    "GaussianBlur": GaussianBlur,
+    "MotionBlur": MotionBlur,
+    "Defocus": Defocus,
+    "GlassBlur": GlassBlur,
+    "RandomBrightnessContrast": RandomBrightnessContrast,
+    "RandomGamma": RandomGamma,
+    "HueSaturationValue": HueSaturationValue,
+    "ISONoise": ISONoise,
+    "Normalize": Normalize,
+    "ToTensorV2": ToTensorV2,
+}

@@ -1,0 +1,155 @@
+"""Tests of the on-device augmentation pipeline + datasets + loader."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from image_segmentation_lab_tpu.core.dataset import (DataLoader,
+                                                     SyntheticDataset)
+from image_segmentation_lab_tpu.data.pipeline import Pipeline
+
+
+def make_pipeline(transforms):
+    return Pipeline.from_dict({
+        "transform": {"__class_fullname__": "Compose", "p": 1.0,
+                      "transforms": transforms}})
+
+
+def test_yaml_roundtrip_and_shapes():
+    p = Pipeline.from_yaml("configs/augmentation/kvasir_train_transform.yaml")
+    assert p.output_shape((480, 600, 3)) == (640, 640, 3)
+    imgs = np.random.RandomState(0).randint(
+        0, 255, (2, 640, 640, 3)).astype(np.uint8)
+    masks = np.random.RandomState(1).randint(0, 2, (2, 640, 640))
+    out_img, out_mask = p(jax.random.PRNGKey(0), imgs, masks)
+    assert out_img.shape == (2, 640, 640, 3)
+    assert out_mask.shape == (2, 640, 640)
+    # Normalize happened: values roughly standardized
+    assert float(jnp.abs(out_img).max()) < 10
+    assert set(np.unique(np.asarray(out_mask))) <= {0, 1}
+
+
+def test_flip_determinism_and_distribution():
+    spec = [{"__class_fullname__": "HorizontalFlip", "p": 0.5}]
+    p = make_pipeline(spec)
+    imgs = np.arange(2 * 4 * 4 * 1).reshape(2, 4, 4, 1).astype(np.uint8)
+    masks = np.arange(2 * 4 * 4).reshape(2, 4, 4) % 2
+    a1, m1 = p(jax.random.PRNGKey(7), imgs, masks)
+    a2, m2 = p(jax.random.PRNGKey(7), imgs, masks)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    # flipped or not, data preserved
+    for i in range(2):
+        orig = imgs[i, ..., 0].astype(np.float32)
+        out = np.asarray(a1[i, ..., 0])
+        assert np.array_equal(out, orig) or np.array_equal(out, orig[:, ::-1])
+        # image and mask flip together
+        mout = np.asarray(m1[i])
+        flipped = not np.array_equal(out, orig)
+        np.testing.assert_array_equal(
+            mout, masks[i][:, ::-1] if flipped else masks[i])
+
+
+def test_rotate_90_exact():
+    spec = [{"__class_fullname__": "Rotate", "p": 1.0, "limit": [90, 90]}]
+    p = make_pipeline(spec)
+    img = np.zeros((1, 5, 5, 1), np.float32)
+    img[0, 0, :, 0] = 10  # top row
+    mask = np.zeros((1, 5, 5), np.float32)
+    mask[0, 0, :] = 1
+    out, m = p(jax.random.PRNGKey(0), img, mask)
+    out = np.asarray(out[0, ..., 0])
+    # after +90° the top row should become a column
+    col_sums = out.sum(axis=0)
+    row_sums = out.sum(axis=1)
+    assert (col_sums.max() > 40) or (row_sums.max() > 40)
+    assert not np.array_equal(out, img[0, ..., 0])
+    assert set(np.unique(np.asarray(m))) <= {0.0, 1.0}  # mask stays binary
+
+
+def test_normalize_values():
+    spec = [{"__class_fullname__": "Normalize", "p": 1.0,
+             "mean": [0.5, 0.5, 0.5], "std": [0.5, 0.5, 0.5],
+             "max_pixel_value": 255.0}]
+    p = make_pipeline(spec)
+    img = np.full((1, 2, 2, 3), 255, np.uint8)
+    out, _ = p(jax.random.PRNGKey(0), img, np.zeros((1, 2, 2)))
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+def test_blur_preserves_mean():
+    spec = [{"__class_fullname__": "Blur", "p": 1.0, "blur_limit": [3, 7]}]
+    p = make_pipeline(spec)
+    img = np.random.RandomState(0).randint(0, 255, (1, 32, 32, 3)).astype(
+        np.uint8)
+    out, _ = p(jax.random.PRNGKey(3), img, np.zeros((1, 32, 32)))
+    assert abs(float(jnp.mean(out)) - img.mean()) < 5.0
+    # blurred → lower variance
+    assert float(jnp.var(out)) < img.astype(np.float32).var()
+
+
+def test_oneof_selects_single_branch():
+    spec = [{"__class_fullname__": "OneOf", "p": 1.0, "transforms": [
+        {"__class_fullname__": "HorizontalFlip", "p": 0.5},
+        {"__class_fullname__": "VerticalFlip", "p": 0.5}]}]
+    p = make_pipeline(spec)
+    img = np.arange(16).reshape(1, 4, 4, 1).astype(np.uint8)
+    mask = np.zeros((1, 4, 4))
+    out, _ = p(jax.random.PRNGKey(1), img, mask)
+    o = np.asarray(out[0, ..., 0])
+    base = img[0, ..., 0].astype(np.float32)
+    assert (np.array_equal(o, base[:, ::-1]) or np.array_equal(o, base[::-1]))
+
+
+def test_synthetic_dataset_and_loader():
+    ds = SyntheticDataset(
+        pipeline="configs/augmentation/synthetic_train_transform.yaml",
+        length=10, image_size=(64, 64))
+    assert len(ds) == 10
+    img, mask, infos = ds[0]
+    assert img.shape == (160, 160, 3)  # cpu-resized to the pipeline size
+    assert mask.shape == (160, 160)
+    loader = DataLoader(ds, batch_size=4, shuffle=True, num_workers=2,
+                        collate_fn=ds.collate_fn, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    images, labels, binfos = batches[0]
+    assert images.shape == (4, 160, 160, 3)
+    assert labels.shape == (4, 160, 160)
+    assert binfos["ori_img_size_hw"] == (64, 64)
+    # deterministic per-epoch shuffle
+    loader2 = DataLoader(ds, batch_size=4, shuffle=True, num_workers=0,
+                         collate_fn=ds.collate_fn, drop_last=True)
+    b2 = list(loader2)
+    np.testing.assert_array_equal(batches[0][0], b2[0][0])
+
+
+def test_dataset_custom_classes_remap(tmp_path):
+    """label_map remaps class ids when a subset of CLASSES is selected."""
+    from image_segmentation_lab_tpu.core.dataset.custom import CustomDataset
+
+    class Toy(CustomDataset):
+        CLASSES = ["a", "b", "c"]
+        PALETTE = [[0, 0, 0], [1, 1, 1], [2, 2, 2]]
+
+    import cv2
+    img_dir = tmp_path / "img"
+    ann_dir = tmp_path / "ann"
+    img_dir.mkdir()
+    ann_dir.mkdir()
+    cv2.imwrite(str(img_dir / "x.jpg"),
+                np.zeros((8, 8, 3), np.uint8))
+    ann = np.array([[0, 1], [2, 1]], np.uint8).repeat(4, 0).repeat(4, 1)
+    cv2.imwrite(str(ann_dir / "x.png"), ann)
+
+    ds = Toy(pipeline="configs/augmentation/synthetic_val_transform.yaml",
+             img_dir=str(img_dir), ann_dir=str(ann_dir),
+             classes=["a", "c"])
+    assert ds.label_map == {0: 0, 1: -1, 2: 1}
+    assert ds.CLASSES == ["a", "c"]
+    assert list(map(list, ds.PALETTE)) == [[0, 0, 0], [2, 2, 2]]
+    _, mask, _ = ds[0]
+    # remapped: b → -1, c → 1
+    vals = set(np.unique(mask).astype(int))
+    assert vals == {-1, 0, 1}

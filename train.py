@@ -1,0 +1,246 @@
+"""Training entry point.
+
+CLI + config-format parity with reference ``train.py:26-167``: the same three
+python-module configs (network/dataset/schedule), the same flags, the same
+run-directory layout (``work_dir/project/exp{N}/{weights,config}``), the same
+``last.pth``/``best.pth`` checkpoints with metadata, and the same composite
+``fits`` model-selection score (train.py:145-146).
+
+Flags the reference parses but never uses (``--device --load-from
+--resume-from --auto-resume --no-validate --deterministic`` — SURVEY.md
+§8.10) are honored here.  The loop body is TPU-native: one jitted train step
+(bf16 policy instead of GradScaler), on-device augmentation, on-device
+confusion-matrix eval.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from datetime import datetime
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description="Train a segmentor (TPU)")
+    parser.add_argument("--network-cfg", type=Path,
+                        default=Path("configs/network/deeplabv3/deeplabv3_r50-d8.py"))
+    parser.add_argument("--dataset-cfg", type=Path,
+                        default=Path("configs/dataset/KvasirSEG.py"))
+    parser.add_argument("--schedule-cfg", type=Path,
+                        default=Path("configs/schedule/kvasir_training_schedule.py"))
+    parser.add_argument("--work-dir", type=Path, default=Path("runs"))
+    parser.add_argument("--project", default="train")
+    parser.add_argument("--name", default="exp")
+    parser.add_argument("--device", default="",
+                        help="'' = default platform (TPU if present), 'cpu'")
+    parser.add_argument("--load-from", type=Path, default=None,
+                        help="checkpoint to load weights from")
+    parser.add_argument("--resume-from", type=Path, default=None,
+                        help="checkpoint to resume training from")
+    parser.add_argument("--auto-resume", action="store_true",
+                        help="resume from last.pth in the run dir if present")
+    parser.add_argument("--no-validate", action="store_true")
+    parser.add_argument("--deterministic", action="store_true")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="override schedule epochs")
+    parser.add_argument("--local_rank", type=int, default=0)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    if str(args.device).lower() == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    if str(args.device).lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    import image_segmentation_lab_tpu  # noqa: F401
+    from image_segmentation_lab_tpu.core import (DATASET, LR_SCHEDULER,
+                                                 build_from_cfg,
+                                                 build_optimizer)
+    from image_segmentation_lab_tpu.core.dataset import DataLoader
+    from image_segmentation_lab_tpu.core.evaluation import SegEvaluator
+    from image_segmentation_lab_tpu.core.fileio import (increment_path,
+                                                        parse_and_backup_config)
+    from image_segmentation_lab_tpu.core.initialize import (
+        init_random_seed, load_checkpoint, set_random_seed)
+    from image_segmentation_lab_tpu.core.mixed_precision import amp_policy
+    from image_segmentation_lab_tpu.models.builder import build_segmentor
+    from image_segmentation_lab_tpu.train_state import (create_train_state,
+                                                        make_eval_step,
+                                                        make_train_step)
+    from image_segmentation_lab_tpu.utils.train_utils import (
+        pth_metadata, save_model, train_one_epoch, validate_one_epoch)
+    from tools.logger.metadata import get_environment_info
+
+    # Step 1: run directory ------------------------------------------------
+    save_dir = increment_path(work_dir=args.work_dir, project=args.project,
+                              name=args.name)
+    weights_dir, config_dir = save_dir / "weights", save_dir / "config"
+    weights_dir.mkdir(parents=True, exist_ok=True)
+    config_dir.mkdir(parents=True, exist_ok=True)
+    last_pth, best_pth = weights_dir / "last.pth", weights_dir / "best.pth"
+
+    # Step 2: configs ------------------------------------------------------
+    metadata = dict(time=datetime.now().strftime("%Y-%m-%d %H:%M:%S"))
+    metadata.update(get_environment_info())
+    def _require(cfg, key, path):
+        if key not in cfg:
+            raise SystemExit(
+                f"config {path} has no top-level `{key} = dict(...)` — is it "
+                f"the right kind of config for this flag?")
+        return cfg.pop(key)
+
+    network_cfg = _require(parse_and_backup_config(
+        args.network_cfg, config_dir, metadata), "model", args.network_cfg)
+    dataset_cfg = _require(parse_and_backup_config(
+        args.dataset_cfg, config_dir, metadata), "dataset", args.dataset_cfg)
+    schedule_cfg = parse_and_backup_config(args.schedule_cfg, config_dir,
+                                           metadata)
+
+    # Step 3: seed + precision policy -------------------------------------
+    seed = init_random_seed(seed=schedule_cfg.get("seed", 0),
+                            device=args.device)
+    metadata.update(seed=seed)
+    root_key = set_random_seed(
+        seed, deterministic=(args.deterministic
+                             or schedule_cfg.get("deterministic", False)))
+    amp_policy(bool(schedule_cfg.get("amp", False)))
+
+    # Step 4: model --------------------------------------------------------
+    model = build_segmentor(network_cfg)
+    print(model)
+
+    # Step 5: data ---------------------------------------------------------
+    train_dataset = build_from_cfg(dataset_cfg["train"], DATASET)
+    train_loader = DataLoader(train_dataset,
+                              batch_size=schedule_cfg.get("train_batch_size", 8),
+                              shuffle=schedule_cfg.get("shuffle", True),
+                              num_workers=schedule_cfg.get("num_workers", 4),
+                              collate_fn=train_dataset.collate_fn,
+                              drop_last=True, seed=seed)
+    val_dataset = build_from_cfg(dataset_cfg["val"], DATASET)
+    val_loader = DataLoader(val_dataset,
+                            batch_size=schedule_cfg.get("val_batch_size", 4),
+                            shuffle=False,
+                            num_workers=schedule_cfg.get("num_workers", 4),
+                            collate_fn=val_dataset.collate_fn)
+    metadata.update(CLASSES=train_dataset.CLASSES,
+                    PALETTE=np.asarray(train_dataset.PALETTE).tolist())
+
+    # Step 6: optimizer + compiled schedule --------------------------------
+    epochs = args.epochs or schedule_cfg.get("epochs", 50)
+    steps_per_epoch = max(len(train_loader), 1)
+    optimizer_cfg = dict(schedule_cfg.get("optimizer",
+                                          dict(type="SGD", lr=0.01)))
+    base_lr = optimizer_cfg.pop("lr")
+    lr_cfg = schedule_cfg.get("lr_config")
+    if lr_cfg:
+        scheduler = build_from_cfg(lr_cfg, LR_SCHEDULER)
+        lr = scheduler.schedule(base_lr, steps_per_epoch)
+    else:
+        scheduler, lr = None, base_lr
+    tx = build_optimizer({**optimizer_cfg, "lr": lr})
+
+    # Step 7: train state (+ load/resume) ----------------------------------
+    hw = train_dataset.input_size_hw or (256, 256)
+    sample_img = jnp.zeros((1, *hw, 3), jnp.float32)
+    sample_gt = jnp.zeros((1, *hw), jnp.int32)
+    state = create_train_state(model, root_key, sample_img, sample_gt, tx)
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree_util.tree_leaves(state.params))
+    print(f"model parameters: {n_params / 1e6:.2f}M")
+
+    start_epoch = 0
+    pretrained = network_cfg.get("pretrained")
+    if pretrained and Path(str(pretrained)).is_file():
+        variables, _ = load_checkpoint(state.variables(), pretrained)
+        state = state.replace(params=variables.get("params", state.params),
+                              frozen_params=variables.get(
+                                  "frozen_params", state.frozen_params),
+                              batch_stats=variables.get(
+                                  "batch_stats", state.batch_stats))
+    resume_path = args.resume_from
+    if args.auto_resume and resume_path is None and last_pth.exists():
+        resume_path = last_pth
+    if args.load_from is not None:
+        variables, _ = load_checkpoint(state.variables(), args.load_from)
+        state = state.replace(params=variables["params"],
+                              frozen_params=variables.get("frozen_params", {}),
+                              batch_stats=variables.get("batch_stats", {}))
+    elif resume_path is not None and Path(resume_path).exists():
+        variables, ckpt = load_checkpoint(state.variables(), resume_path)
+        state = state.replace(params=variables["params"],
+                              frozen_params=variables.get("frozen_params", {}),
+                              batch_stats=variables.get("batch_stats", {}))
+        ts = ckpt.get("train_state")
+        if ts is not None:  # pickled pytree keeps the optax state structure
+            state = state.replace(step=jnp.asarray(int(ts["step"])),
+                                  opt_state=ts["opt_state"])
+        start_epoch = int(ckpt.get("metadata", {}).get("epoch", -1)) + 1
+        print(f"resumed from {resume_path} at epoch {start_epoch}")
+
+    # Step 8: epoch loop ---------------------------------------------------
+    train_step = make_train_step(model, tx)
+    uniform_val = val_dataset.ori_img_size  # tuple → on-device eval rescale
+    eval_step = make_eval_step(model, rescale_size=uniform_val)
+    best_fits = float("inf")
+
+    for epoch in range(start_epoch, epochs):
+        state, train_vars = train_one_epoch(
+            epoch, train_step, state, train_loader,
+            pipeline=train_dataset.device_pipeline,
+            base_rng=jax.random.fold_in(root_key, epoch))
+        lr_now = (scheduler.lr_at_epoch(epoch, base_lr) if scheduler
+                  else base_lr)
+        print(f"epoch {epoch}: " +
+              " ".join(f"{k}={v:.4f}" for k, v in train_vars.items()) +
+              f" lr={float(lr_now):.6f}")
+
+        val_vars, val_metrics = {}, {}
+        fits = train_vars.get("loss", 0.0)
+        if not args.no_validate:
+            evaluator = SegEvaluator(
+                epoch,
+                num_classes=val_dataset.num_classes,
+                class_names=val_dataset.CLASSES,
+                palette=val_dataset.PALETTE,
+                ignore_index=(val_dataset.ignore_index
+                              if val_dataset.ignore_index is not None else 255),
+                output_dir=str(save_dir / "pred_results"))
+            val_vars, val_metrics = validate_one_epoch(
+                epoch, eval_step, state, val_loader, evaluator,
+                pipeline=val_dataset.device_pipeline)
+            print(f"epoch {epoch} val: " +
+                  " ".join(f"{k}={v:.4f}" for k, v in val_vars.items()))
+            # composite model-selection score (reference train.py:145-146),
+            # made head-optional (SURVEY.md §8.11)
+            fits = train_vars.get("loss", 0.0) + val_vars.get("loss", 0.0)
+            for head in ("decode", "aux"):
+                miou = val_metrics.get(head, {}).get("mIoU")
+                if miou is not None:
+                    fits += 1.0 - float(miou) / 100.0
+
+        meta = pth_metadata(metadata, epoch, fits, train_vars, val_vars,
+                            val_metrics)
+        save_model(state, meta, last_pth, include_train_state=True)
+        if fits < best_fits:
+            best_fits = fits
+            save_model(state, meta, best_pth, include_train_state=True)
+            print(f"epoch {epoch}: new best fits={fits:.4f} → {best_pth}")
+    print(f"done. best fits={best_fits:.4f}; checkpoints in {weights_dir}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
