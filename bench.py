@@ -1,0 +1,155 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): **512×512 images/sec/chip for sliding-window
+inference** on the flagship DeepLabV3-R50 (crop 256, stride 171 → 3×3
+windows), bf16 compute, plus p50 per-image latency.  Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+     "extras": {...}}
+
+``vs_baseline`` compares against the single-thread-class CPU baseline for
+the same computation (the reference publishes no numbers — BASELINE.md — so
+the driver-defined target is ≥5× over CPU).  The CPU number is measured once
+on this machine and cached in ``bench_baseline.json``; pass
+``--remeasure-cpu`` to refresh it.
+
+Usage:  python bench.py [--quick] [--batch N] [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+BASELINE_CACHE = REPO_ROOT / "bench_baseline.json"
+METRIC = "512x512 images/sec/chip (slide inference)"
+
+
+def build_model_and_vars(quick: bool):
+    import jax
+    import jax.numpy as jnp
+    from image_segmentation_lab_tpu.models.builder import build_segmentor
+    import __graft_entry__ as g
+
+    cfg = g._flagship_cfg(test_mode="slide", depth=18 if quick else 50)
+    model = build_segmentor(cfg)
+    img = jnp.zeros((1, 512, 512, 3), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, img, method="inference")
+    return model, variables
+
+
+def measure(model, variables, batch: int, iters: int, warmup: int = 2):
+    """Throughput (img/s) and p50 latency (s) of jitted slide inference."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    # NOTE: we reduce the output to a scalar inside the jit and fetch it to
+    # host every iteration — on the tunneled 'axon' TPU platform,
+    # block_until_ready() returns before remote execution finishes, which
+    # silently measures dispatch (observed 12x above hardware peak).  A
+    # host fetch of a value cannot complete before the computation does.
+    fn = jax.jit(lambda v, x: model.apply(v, x, method="inference").sum())
+    imgs = [jnp.asarray(np.random.RandomState(i).randn(batch, 512, 512, 3),
+                        jnp.float32) for i in range(4)]
+    for i in range(warmup):
+        float(fn(variables, imgs[i % len(imgs)]))
+    times = []
+    for i in range(iters):
+        x = imgs[i % len(imgs)]
+        t0 = time.perf_counter()
+        float(fn(variables, x))
+        times.append(time.perf_counter() - t0)
+    times = np.asarray(times)
+    throughput = batch / times.mean()
+    # p50 per-image latency measured at batch=1
+    x1 = imgs[0][:1]
+    float(fn(variables, x1))
+    lat = []
+    for i in range(max(iters, 5)):
+        t0 = time.perf_counter()
+        float(fn(variables, x1))
+        lat.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(lat, 50))
+    return float(throughput), p50
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="small model on CPU (smoke test)")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--remeasure-cpu", action="store_true")
+    parser.add_argument("--no-amp", action="store_true")
+    args = parser.parse_args()
+
+    if args.quick:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+
+    from image_segmentation_lab_tpu.core.mixed_precision import set_policy
+
+    set_policy("fp32" if (args.no_amp or args.quick) else "bf16")
+    platform = jax.devices()[0].platform
+
+    model, variables = build_model_and_vars(args.quick)
+    batch = 2 if args.quick else args.batch
+    iters = 3 if args.quick else args.iters
+    throughput, p50 = measure(model, variables, batch, iters)
+
+    # CPU baseline (cached)
+    vs_baseline = None
+    cpu_ips = None
+    if BASELINE_CACHE.exists() and not args.remeasure_cpu:
+        cached = json.loads(BASELINE_CACHE.read_text())
+        cpu_ips = cached.get("cpu_images_per_sec")
+    if cpu_ips is None and platform != "cpu":
+        # measure the same computation on host CPU, few iterations
+        cpu_dev = jax.devices("cpu")[0]
+        with jax.default_device(cpu_dev):
+            set_policy("fp32")
+            m2, v2 = build_model_and_vars(args.quick)
+            cpu_tp, _ = measure(m2, v2, batch=1, iters=2, warmup=1)
+        cpu_ips = cpu_tp
+        BASELINE_CACHE.write_text(json.dumps(
+            {"cpu_images_per_sec": cpu_ips,
+             "note": "DeepLabV3-R50 512x512 slide inference, host CPU fp32"},
+            indent=2))
+        set_policy("fp32" if (args.no_amp or args.quick) else "bf16")
+    if cpu_ips:
+        vs_baseline = throughput / cpu_ips
+
+    result = {
+        "metric": METRIC,
+        "value": round(throughput, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+        "extras": {
+            "p50_latency_ms": round(p50 * 1000, 3),
+            "platform": platform,
+            "batch": batch,
+            "precision": "fp32" if (args.no_amp or args.quick) else "bf16",
+            "cpu_baseline_images_per_sec": (round(cpu_ips, 3)
+                                            if cpu_ips else None),
+            "quick": args.quick,
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

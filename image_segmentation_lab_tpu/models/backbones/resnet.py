@@ -231,6 +231,10 @@ class ResNet(nn.Module):
     zero_init_residual: bool = True
     pretrained: Optional[str] = None
     init_cfg: Optional[Any] = None
+    # ICNet keeps corner information with a ceil-mode stem maxpool
+    # (reference icnet.py:83-85 mutates backbone.maxpool post-build;
+    # here it is a declarative flag)
+    maxpool_ceil_mode: bool = False
 
     def setup(self):
         if self.depth not in self.arch_settings:
@@ -312,14 +316,24 @@ class ResNet(nn.Module):
                 out.append(plugin)
         return out or None
 
-    def __call__(self, x, train: bool = False):
+    def forward_stem(self, x, train: bool = False):
+        """Stem convs + maxpool; callable standalone (ICNet reuses it —
+        reference icnet.py:153-162)."""
         if self.deep_stem:
             for i in range(0, len(self.stem), 2):
                 x = nn.relu(self.stem[i + 1](self.stem[i](x, train=train),
                                              train=train))
         else:
             x = nn.relu(self.bn1(self.conv1(x, train=train), train=train))
-        x = max_pool2d(x, 3, stride=2, padding=1)
+        return max_pool2d(x, 3, stride=2, padding=1,
+                          ceil_mode=self.maxpool_ceil_mode)
+
+    def forward_layer(self, i, x, train: bool = False):
+        """Run stage ``i`` (0-based) alone (ICNet splits the stages)."""
+        return self.res_layers[i](x, train=train)
+
+    def __call__(self, x, train: bool = False):
+        x = self.forward_stem(x, train=train)
         outs = []
         for i, layer in enumerate(self.res_layers):
             x = layer(x, train=train)

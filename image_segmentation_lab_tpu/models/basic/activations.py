@@ -77,12 +77,16 @@ class PReLU(nn.Module):
 
 @ACTIVATION.register("HSigmoid", aliases=("Hardsigmoid",))
 class HSigmoid(nn.Module):
-    """hard-sigmoid: relu6(x + 3) / 6 (torch Hardsigmoid semantics)."""
+    """hard-sigmoid: clip((x + bias) / divisor, 0, 1); the (3, 6) default is
+    torch Hardsigmoid == relu6(x+3)/6 (MobileNetV3 passes bias/divisor
+    explicitly, reference mobilenet_v3.py:171)."""
 
+    bias: float = 3.0
+    divisor: float = 6.0
     inplace: bool = False
 
     def __call__(self, x, train: bool = False):
-        return jax.nn.relu6(x + 3.0) / 6.0
+        return jnp.clip((x + self.bias) / self.divisor, 0.0, 1.0)
 
 
 @ACTIVATION.register("HSwish", aliases=("Hardswish",))

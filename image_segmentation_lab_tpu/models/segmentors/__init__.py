@@ -1,2 +1,3 @@
 from .base import BaseSegmentor, show_result
+from .cascade_encoder_decoder import CascadeEncoderDecoder
 from .encoder_decoder import EncoderDecoder

@@ -1,0 +1,122 @@
+"""Device mesh + sharded training utilities.
+
+TPU-native replacement for the reference's torch.distributed layer
+(core/mixed_precision/dist_utils.py — NCCL process groups, DDP wrapping,
+coalesced allreduce: SURVEY.md §2.9).  Here parallelism is declarative:
+
+* ``get_mesh()`` builds a ``jax.sharding.Mesh`` over the local devices —
+  default a 1-D ``('data',)`` mesh (data parallelism over ICI, the only
+  parallelism the reference's CNNs need; batch dim >> model size);
+* ``shard_batch`` places host batches with the leading axis split over
+  ``data``; ``replicate`` fully replicates a pytree (params/state);
+* ``make_sharded_train_step`` jits the train step with those shardings.
+  XLA inserts the gradient all-reduce automatically, and because BatchNorm
+  statistics are means over the (globally sharded) batch axis, cross-replica
+  SyncBN falls out with no extra code — the collectives ride ICI.
+
+The reference's hand-written allreduce bucketing (dist_utils.py:169-188) is
+intentionally dropped: XLA fuses and schedules collectives itself.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(n_devices: Optional[int] = None,
+             axis_names: Sequence[str] = ("data",),
+             shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+    """Build a mesh over local devices.
+
+    1-D ``('data',)`` by default; pass ``shape``/``axis_names`` for
+    multi-axis layouts (e.g. ``(('data','space'), (4,2))`` for spatially
+    sharded slide inference).
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),)
+    assert int(np.prod(shape)) == len(devices), (shape, len(devices))
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device_put arrays with the leading dim split over the mesh axis."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def make_sharded_train_step(model, tx, mesh: Mesh, axis: str = "data",
+                            donate: bool = True):
+    """Data-parallel train step over ``mesh``.
+
+    Same body as ``train_state.make_train_step``; the shardings turn it into
+    an SPMD program: batch split over ``axis``, state replicated, gradients
+    all-reduced by XLA.
+    """
+    import optax
+
+    from ..train_state import TrainState, parse_losses
+
+    def train_step(state: TrainState, img, gt, dropout_rng):
+        def loss_fn(params):
+            variables = {"params": params,
+                         "frozen_params": state.frozen_params,
+                         "batch_stats": state.batch_stats}
+            (_, losses), mutated = model.apply(
+                variables, img, gt, img_metas={}, rescale=False,
+                return_loss=True, train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"])
+            loss, log_vars = parse_losses(losses)
+            return loss, (mutated, log_vars)
+
+        grads, (mutated, log_vars) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=mutated.get("batch_stats", state.batch_stats))
+        return new_state, log_vars
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh, axis)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, data, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else ())
+
+
+def make_sharded_eval_step(model, mesh: Mesh, axis: str = "data"):
+    """Data-parallel inference step: probabilities for a sharded batch."""
+    rep = replicated(mesh)
+    data = batch_sharding(mesh, axis)
+
+    def eval_step(variables, img):
+        return model.apply(variables, img, method="inference")
+
+    return jax.jit(eval_step, in_shardings=(rep, data), out_shardings=data)
