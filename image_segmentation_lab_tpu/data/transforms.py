@@ -439,37 +439,34 @@ class RandomGamma(Transform):
 
 
 def _rgb_to_hsv(img):
-    return jax.vmap(jax.vmap(_rgb_to_hsv_px))(img)
-
-
-def _rgb_to_hsv_px(px):
-    r, g, b = px[0], px[1], px[2]
-    mx = jnp.max(px)
-    mn = jnp.min(px)
+    """Vectorized RGB→HSV over (..., 3) arrays in [0,1]; H in degrees."""
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    mx = jnp.max(img, axis=-1)
+    mn = jnp.min(img, axis=-1)
     d = mx - mn
-    h = jnp.where(
-        d == 0, 0.0,
-        jnp.where(mx == r, ((g - b) / jnp.maximum(d, 1e-8)) % 6.0,
-                  jnp.where(mx == g, (b - r) / jnp.maximum(d, 1e-8) + 2.0,
-                            (r - g) / jnp.maximum(d, 1e-8) + 4.0))) * 60.0
+    safe_d = jnp.maximum(d, 1e-8)
+    h = jnp.where(mx == r, ((g - b) / safe_d) % 6.0,
+                  jnp.where(mx == g, (b - r) / safe_d + 2.0,
+                            (r - g) / safe_d + 4.0))
+    h = jnp.where(d == 0, 0.0, h) * 60.0
     s = jnp.where(mx == 0, 0.0, d / jnp.maximum(mx, 1e-8))
-    return jnp.stack([h, s, mx])
+    return jnp.stack([h, s, mx], axis=-1)
 
 
-def _hsv_to_rgb_px(px):
-    h, s, v = px[0] / 60.0, px[1], px[2]
+def _hsv_to_rgb(hsv):
+    """Vectorized HSV→RGB (H in degrees)."""
+    h = (hsv[..., 0] % 360.0) / 60.0
+    s, v = hsv[..., 1], hsv[..., 2]
     c = v * s
     x = c * (1 - jnp.abs(h % 2 - 1))
     m = v - c
     idx = jnp.floor(h).astype(jnp.int32) % 6
-    table = jnp.array([[0, 1, 2], [1, 0, 2], [2, 0, 1],
-                       [2, 1, 0], [1, 2, 0], [0, 2, 1]])
-    vals = jnp.stack([c, x, jnp.zeros(())])
-    return vals[table[idx]] + m
-
-
-def _hsv_to_rgb(img):
-    return jax.vmap(jax.vmap(_hsv_to_rgb_px))(img)
+    z = jnp.zeros_like(c)
+    conds = [idx == k for k in range(6)]
+    r = jnp.select(conds, [c, x, z, z, x, c])
+    g = jnp.select(conds, [x, c, c, x, z, z])
+    b = jnp.select(conds, [z, z, x, c, c, x])
+    return jnp.stack([r + m, g + m, b + m], axis=-1)
 
 
 class HueSaturationValue(Transform):

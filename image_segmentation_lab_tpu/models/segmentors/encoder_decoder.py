@@ -108,6 +108,11 @@ class EncoderDecoder(BaseSegmentor):
         return resize(out, size=img.shape[1:3], mode="bilinear",
                       align_corners=self.align_corners)
 
+    def decode_from_features(self, feats, train: bool = False):
+        """Decode-head logits from precomputed backbone features (used by the
+        grad-CAM tool to differentiate w.r.t. an intermediate feature)."""
+        return self.decode_head_module.forward_test(feats, train=train)
+
     def forward_train(self, img, gt_semantic_seg, meta_infos=None,
                       rescale: bool = False, train: bool = True):
         """(reference encoder_decoder.py:146-183)."""

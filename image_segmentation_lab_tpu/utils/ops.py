@@ -21,6 +21,7 @@ from __future__ import annotations
 import warnings
 from typing import Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -41,13 +42,34 @@ def _bilinear_1d_weights(in_size: int, out_size: int, align_corners: bool):
     return i0, i1, w1
 
 
+def _interp_matrix(in_size: int, out_size: int,
+                   align_corners: bool) -> np.ndarray:
+    """Dense (out, in) interpolation matrix (≤2 nonzeros per row)."""
+    i0, i1, w1 = _bilinear_1d_weights(in_size, out_size, align_corners)
+    M = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(M, (rows, i0), 1.0 - w1)
+    np.add.at(M, (rows, i1), w1)
+    return M
+
+
 def resize_bilinear(x: jnp.ndarray,
                     size: Tuple[int, int],
-                    align_corners: bool = False) -> jnp.ndarray:
+                    align_corners: bool = False,
+                    method: str = "auto") -> jnp.ndarray:
     """Bilinear resize of NHWC ``x`` to ``size=(h, w)`` with torch semantics.
 
-    Interpolation runs in float32 regardless of input dtype (bf16-safe), cast
-    back at the end.
+    Two lowering strategies, numerically identical weights:
+
+    * ``gather`` — separable row/column gathers + fmas (VPU); best on CPU.
+    * ``matmul`` — the classic TPU trick: interpolation as two dense
+      matmuls with static (out, in) weight matrices, ``y = M_h · x · M_wᵀ``.
+      Gathers are serialized memory traffic on TPU; these land on the MXU
+      and run an order of magnitude faster for the wide-channel decode
+      upsamples (e.g. 2048-ch stage-4 features → 512²).
+
+    ``auto`` picks matmul on TPU, gather elsewhere.  Interpolation runs in
+    float32 regardless of input dtype (bf16-safe), cast back at the end.
     """
     N, H, W, C = x.shape
     h, w = size
@@ -55,6 +77,18 @@ def resize_bilinear(x: jnp.ndarray,
         return x
     orig_dtype = x.dtype
     xf = x.astype(jnp.float32)
+    if method == "auto":
+        method = "matmul" if jax.default_backend() == "tpu" else "gather"
+
+    if method == "matmul":
+        Mh = jnp.asarray(_interp_matrix(H, h, align_corners))
+        Mw = jnp.asarray(_interp_matrix(W, w, align_corners))
+        # (h,H)·(N,H,W,C) over H, then (w,W)·(N,h,W,C) over W
+        xf = jnp.einsum("oh,nhwc->nowc", Mh, xf,
+                        precision=jax.lax.Precision.HIGHEST)
+        xf = jnp.einsum("pw,nowc->nopc", Mw, xf,
+                        precision=jax.lax.Precision.HIGHEST)
+        return xf.astype(orig_dtype)
 
     i0, i1, wh = _bilinear_1d_weights(H, h, align_corners)
     wh = wh[None, :, None, None]

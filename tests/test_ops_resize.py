@@ -35,3 +35,17 @@ def test_nearest_parity(rng, in_hw, out_hw):
                          size=out_hw, mode="nearest")
     np.testing.assert_array_equal(
         np.transpose(np.asarray(out), (0, 3, 1, 2)), ref.numpy())
+
+
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_matmul_path_matches_gather(rng, align_corners):
+    from image_segmentation_lab_tpu.utils.ops import resize_bilinear
+    x = jnp.asarray(rng.randn(2, 17, 13, 8).astype(np.float32))
+    a = resize_bilinear(x, (40, 50), align_corners, method="gather")
+    b = resize_bilinear(x, (40, 50), align_corners, method="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    a = resize_bilinear(x, (5, 7), align_corners, method="gather")
+    b = resize_bilinear(x, (5, 7), align_corners, method="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
