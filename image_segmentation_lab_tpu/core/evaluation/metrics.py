@@ -35,29 +35,6 @@ from ..fileio import imwrite, mkdir_or_exist
 from .table import AsciiTable
 
 
-from functools import partial
-
-
-@partial(jax.jit, static_argnums=(2, 3))
-def _batch_confusion(pred: jnp.ndarray, gt: jnp.ndarray,
-                     num_classes: int, ignore_index: int):
-    """On-device (intersect, pred-hist, label-hist) for a batch of label maps."""
-    valid = gt != ignore_index
-    gt_c = jnp.clip(gt, 0, num_classes - 1)
-    pred_c = jnp.clip(pred, 0, num_classes - 1)
-    inter_mask = valid & (pred == gt)
-
-    def hist(values, mask):
-        oh = jax.nn.one_hot(values, num_classes, dtype=jnp.float32)
-        return jnp.sum(oh * mask[..., None].astype(jnp.float32),
-                       axis=tuple(range(values.ndim)))
-
-    area_inter = hist(pred_c, inter_mask)
-    area_pred = hist(pred_c, valid & (pred >= 0) & (pred < num_classes))
-    area_label = hist(gt_c, valid & (gt >= 0) & (gt < num_classes))
-    return area_inter, area_pred, area_label
-
-
 def _np_hist(values, num_classes):
     return np.bincount(values, minlength=num_classes)[:num_classes].astype(
         np.float64)
@@ -132,19 +109,21 @@ class SegEvaluator:
         already rescaled) or list of (1,h_i,w_i,C) arrays (per-image sizes).
         batch_infos must carry ``ori_gt``."""
         labels = batch_infos["ori_gt"]
+        want_plot = self.show_result and batch_idx < 4 and self.output_dir
         preds_for_plot = {}
         for head, value in pred_batch.items():
             if isinstance(value, dict):  # aux ModuleList case {idx: logits}
                 for sub, v in value.items():
                     self._process_one(f"{head}_{sub}", v, labels,
-                                      preds_for_plot)
+                                      preds_for_plot, want_plot)
                 continue
-            self._process_one(head, value, labels, preds_for_plot)
+            self._process_one(head, value, labels, preds_for_plot, want_plot)
 
-        if self.show_result and batch_idx < 4 and self.output_dir:
+        if want_plot:
             self.plot_results(batch_idx, preds_for_plot, batch_infos)
 
-    def _process_one(self, head, value, labels, preds_for_plot):
+    def _process_one(self, head, value, labels, preds_for_plot,
+                     want_plot=True):
         if not isinstance(value, (list, tuple)) and isinstance(labels, list):
             # uniform logits but ragged ground truths → per-image host path
             arr = np.asarray(jax.device_get(value))
@@ -169,13 +148,15 @@ class SegEvaluator:
                                  _np_hist(g, self.num_classes))
             preds_for_plot[head] = plot_preds
         else:
+            from ...ops.pallas.confusion import confusion_histograms
             logits = jnp.asarray(value)
             gt = jnp.asarray(np.asarray(labels)).astype(jnp.int32)
-            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            inter, pred_h, label_h = _batch_confusion(
-                pred, gt, self.num_classes, self.ignore_index)
+            inter, pred_h, label_h = confusion_histograms(
+                logits, gt, self.num_classes, self.ignore_index)
             self._accumulate(head, inter, pred_h, label_h)
-            preds_for_plot[head] = np.asarray(jax.device_get(pred))
+            if want_plot:
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                preds_for_plot[head] = np.asarray(jax.device_get(pred))
 
     # ------------------------------------------------------- compute
     def compute_metrics(self):

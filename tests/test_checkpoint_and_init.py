@@ -1,0 +1,150 @@
+"""Checkpoint roundtrip, weight-init system, fp16 shims, schedulers."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_segmentation_lab_tpu.core.initialize import (
+    initialize, load_checkpoint, load_checkpoint_with_prefix, save_checkpoint,
+    state_dict_from_variables)
+from image_segmentation_lab_tpu.models.builder import build_segmentor
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = dict(type="EncoderDecoder",
+               backbone=dict(type="ResNet", depth=18, num_stages=2,
+                             strides=(1, 2), dilations=(1, 1),
+                             out_indices=(0, 1),
+                             norm_cfg=dict(type="BN", requires_grad=True)),
+               decode_head=dict(type="FCNHead", in_channels=128, in_index=1,
+                                channels=16, num_convs=1, concat_input=False,
+                                num_classes=2,
+                                norm_cfg=dict(type="BN", requires_grad=True),
+                                loss_decode=dict(type="CrossEntropyLoss")))
+    model = build_segmentor(cfg)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           x, method="encode_decode")
+    return model, variables
+
+
+def test_checkpoint_roundtrip(tmp_path, small_model):
+    model, variables = small_model
+    path = tmp_path / "ckpt.pth"
+    save_checkpoint(variables, path, metadata={"epoch": 3, "seed": 42})
+    sd = state_dict_from_variables(variables)
+    assert any(k.startswith("backbone.") for k in sd)
+    assert any("running_mean" in k for k in sd)
+
+    # perturb then reload → must restore exactly
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, variables)
+    restored, ckpt = load_checkpoint(zeroed, path, logger=None)
+    assert ckpt["metadata"]["epoch"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_prefix_load(tmp_path, small_model):
+    model, variables = small_model
+    path = tmp_path / "ckpt.pth"
+    save_checkpoint(variables, path)
+    sub = load_checkpoint_with_prefix("backbone", path)
+    assert all(not k.startswith("backbone.") for k in sub)
+    assert any(k.startswith("layer1") for k in sub)
+    with pytest.raises(AssertionError):
+        load_checkpoint_with_prefix("nonexistent", path)
+
+
+def test_revise_keys(tmp_path, small_model):
+    model, variables = small_model
+    path = tmp_path / "ckpt.pth"
+    sd = {"module." + k: v
+          for k, v in state_dict_from_variables(variables).items()}
+    import pickle
+    with open(path, "wb") as f:
+        pickle.dump({"metadata": {}, "state_dict": sd}, f)
+    restored, _ = load_checkpoint(
+        jax.tree_util.tree_map(jnp.zeros_like, variables), path, logger=None)
+    leaves = jax.tree_util.tree_leaves(restored["params"])
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+
+
+def test_initialize_system(small_model):
+    model, variables = small_model
+    params = variables["params"]
+    new = initialize(params, dict(type="Constant", val=0.5, layer="Conv2d"),
+                     jax.random.PRNGKey(0))
+    conv_w = new["backbone"]["conv1"]["weight"]
+    np.testing.assert_allclose(np.asarray(conv_w), 0.5)
+    # norm weights untouched (layer filter)
+    np.testing.assert_allclose(
+        np.asarray(new["backbone"]["bn1"]["weight"]), 1.0)
+
+    # override: re-init only conv_seg with Normal
+    new2 = initialize(params, dict(type="Kaiming", layer="Conv2d",
+                                   override=dict(type="Normal", std=0.001,
+                                                 name="conv_seg")),
+                      jax.random.PRNGKey(1))
+    seg_w = np.asarray(new2["decode_head"]["conv_seg"]["weight"])
+    assert np.abs(seg_w).std() < 0.01  # tiny std from the override
+    with pytest.raises(RuntimeError):
+        initialize(params, dict(type="Constant", val=1,
+                                override=dict(name="nope_sub")),
+                   jax.random.PRNGKey(0))
+
+
+def test_pretrained_init(tmp_path, small_model):
+    model, variables = small_model
+    path = tmp_path / "pre.pth"
+    save_checkpoint(variables, path)
+    zero_params = jax.tree_util.tree_map(jnp.zeros_like, variables["params"])
+    new = initialize(zero_params,
+                     dict(type="Pretrained", checkpoint=str(path)),
+                     jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(new["backbone"]["conv1"]["weight"]),
+        np.asarray(variables["params"]["backbone"]["conv1"]["weight"]))
+
+
+def test_fp16_shims():
+    from image_segmentation_lab_tpu.core.mixed_precision import policy_scope
+    from image_segmentation_lab_tpu.core.mixed_precision.fp16_utils import (
+        LossScaler, auto_fp16, force_fp32)
+
+    @auto_fp16(apply_to=("x",))
+    def f(x, y):
+        return x.dtype, y.dtype
+
+    @force_fp32()
+    def g(x):
+        return x.dtype
+
+    with policy_scope("bf16"):
+        xd, yd = f(jnp.zeros(3), jnp.zeros(3))
+        assert xd == jnp.bfloat16 and yd == jnp.float32
+        assert g(jnp.zeros(3, jnp.bfloat16)) == jnp.float32
+    scaler = LossScaler()
+    assert not scaler.has_overflow(None) and scaler.loss_scale == 1.0
+
+
+def test_kaiming_distribution():
+    from image_segmentation_lab_tpu.core.initialize.init_functions import \
+        kaiming_
+    init = kaiming_(mode="fan_out", nonlinearity="relu")
+    w = init(jax.random.PRNGKey(0), (3, 3, 64, 128), jnp.float32)
+    expected_std = float(np.sqrt(2.0 / (3 * 3 * 128)))
+    assert abs(float(w.std()) - expected_std) / expected_std < 0.05
+
+
+def test_warm_scheduler():
+    from image_segmentation_lab_tpu.core.optimizers import WarmScheduler
+    s = WarmScheduler(warmup_epochs=5, mode="linear", warmup_ratio=0.1,
+                      after=dict(type="StepLR", step_size=10, gamma=0.1))
+    lrs = [float(s.lr_at_epoch(e, 1.0)) for e in (0, 2, 4, 5, 14, 15)]
+    assert lrs[0] < lrs[1] < lrs[2]          # ramping up
+    assert abs(lrs[3] - 1.0) < 1e-6          # full lr after warmup
+    assert abs(lrs[4] - 1.0) < 1e-6 and abs(lrs[5] - 0.1) < 1e-6

@@ -49,6 +49,8 @@ def parse_args():
     parser.add_argument("--deterministic", action="store_true")
     parser.add_argument("--epochs", type=int, default=None,
                         help="override schedule epochs")
+    parser.add_argument("--profile-dir", type=Path, default=None,
+                        help="write a jax.profiler trace of epoch 0 here")
     parser.add_argument("--local_rank", type=int, default=0)
     return parser.parse_args()
 
@@ -191,16 +193,41 @@ def main():
         print(f"resumed from {resume_path} at epoch {start_epoch}")
 
     # Step 8: epoch loop ---------------------------------------------------
-    train_step = make_train_step(model, tx)
+    # data parallelism: with >1 device the train step is pjit-sharded over a
+    # ('data',) mesh — state replicated, batch split, gradient allreduce and
+    # cross-replica BN statistics inserted by XLA (SURVEY.md §2.9)
+    n_devices = jax.device_count()
+    if n_devices > 1:
+        from image_segmentation_lab_tpu.parallel import (
+            get_mesh, make_sharded_train_step, replicate, shard_batch)
+        mesh = get_mesh()
+        state = replicate(state, mesh)
+        _step = make_sharded_train_step(model, tx, mesh)
+
+        def train_step(state, img, gt, rng):
+            img, gt = shard_batch((img, gt), mesh)
+            return _step(state, img, gt, rng)
+
+        print(f"data-parallel over {n_devices} devices: {mesh}")
+    else:
+        train_step = make_train_step(model, tx)
     uniform_val = val_dataset.ori_img_size  # tuple → on-device eval rescale
     eval_step = make_eval_step(model, rescale_size=uniform_val)
     best_fits = float("inf")
 
     for epoch in range(start_epoch, epochs):
+        profiling = args.profile_dir is not None and epoch == start_epoch
+        if profiling:
+            jax.profiler.start_trace(str(args.profile_dir))
         state, train_vars = train_one_epoch(
             epoch, train_step, state, train_loader,
             pipeline=train_dataset.device_pipeline,
             base_rng=jax.random.fold_in(root_key, epoch))
+        if profiling:
+            jax.tree_util.tree_map(
+                lambda x: x.block_until_ready(), state.params)
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile_dir}")
         lr_now = (scheduler.lr_at_epoch(epoch, base_lr) if scheduler
                   else base_lr)
         print(f"epoch {epoch}: " +

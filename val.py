@@ -35,6 +35,11 @@ def parse_args():
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--amp", action="store_true",
                         help="bf16 compute policy for inference")
+    parser.add_argument("--tta", action="store_true",
+                        help="multi-scale + horizontal-flip test-time "
+                             "augmentation (averaged probabilities)")
+    parser.add_argument("--tta-scales", type=float, nargs="+",
+                        default=[0.75, 1.0, 1.25])
     return parser.parse_args()
 
 
@@ -100,6 +105,39 @@ def main():
                        opt_state=None)
 
     eval_step = make_eval_step(model, rescale_size=dataset.ori_img_size)
+    if args.tta:
+        from image_segmentation_lab_tpu.utils.ops import resize
+
+        # averaged softmax probabilities over scales x {identity, hflip}
+        # (the jit-compiled analog of reference aug_test_logits,
+        # encoder_decoder.py:337-353)
+        @jax.jit
+        def tta_step(variables, img):
+            H, W = img.shape[1:3]
+            acc = 0.0
+            n = 0
+            for s in args.tta_scales:
+                scaled = resize(img, size=(int(H * s), int(W * s)),
+                                mode="bilinear", align_corners=False)
+                for flip in (False, True):
+                    x = scaled[:, :, ::-1, :] if flip else scaled
+                    probs = model.apply(variables, x, method="inference")
+                    if flip:
+                        probs = probs[:, :, ::-1, :]
+                    acc = acc + resize(probs, size=(H, W), mode="bilinear",
+                                       align_corners=False)
+                    n += 1
+            return acc / n
+
+        class TTAStep:
+            def __call__(self, state, img, gt):
+                probs = tta_step(state.variables(), img)
+                if dataset.ori_img_size:
+                    probs = resize(probs, size=tuple(dataset.ori_img_size),
+                                   mode="bilinear", align_corners=False)
+                return {"decode": probs}, {}
+
+        eval_step = TTAStep()
     evaluator = SegEvaluator(
         epoch=int(ckpt.get("metadata", {}).get("epoch", 0)),
         num_classes=dataset.num_classes,
