@@ -33,6 +33,25 @@ from ..builder import build_module_from_cfg
 from .base import BaseSegmentor
 
 
+def slide_window_origins(h_img: int, w_img: int, h_crop: int, w_crop: int,
+                         h_stride: int, w_stride: int):
+    """Static edge-clamped window grid (reference encoder_decoder.py:199-208).
+
+    Shared by single-chip slide inference and the window-sharded multi-chip
+    path in ``parallel/slide.py``.
+    """
+    h_crop, w_crop = min(h_crop, h_img), min(w_crop, w_img)
+    h_grids = max(h_img - h_crop + h_stride - 1, 0) // h_stride + 1
+    w_grids = max(w_img - w_crop + w_stride - 1, 0) // w_stride + 1
+    origins = []
+    for h_idx in range(h_grids):
+        for w_idx in range(w_grids):
+            y1 = min(h_idx * h_stride + h_crop, h_img) - h_crop
+            x1 = min(w_idx * w_stride + w_crop, w_img) - w_crop
+            origins.append((max(y1, 0), max(x1, 0)))
+    return origins, h_crop, w_crop
+
+
 @SEGMENTOR.register()
 class EncoderDecoder(BaseSegmentor):
     backbone: Dict = None
@@ -154,18 +173,9 @@ class EncoderDecoder(BaseSegmentor):
         h_stride, w_stride = test_cfg["stride"]
         h_crop, w_crop = test_cfg["crop_size"]
         batch_size, h_img, w_img, _ = img.shape
-        h_crop, w_crop = min(h_crop, h_img), min(w_crop, w_img)
         out_channels = self.out_channels
-
-        h_grids = max(h_img - h_crop + h_stride - 1, 0) // h_stride + 1
-        w_grids = max(w_img - w_crop + w_stride - 1, 0) // w_stride + 1
-        # static window origins (trace-time constants)
-        origins = []
-        for h_idx in range(h_grids):
-            for w_idx in range(w_grids):
-                y1 = min(h_idx * h_stride + h_crop, h_img) - h_crop
-                x1 = min(w_idx * w_stride + w_crop, w_img) - w_crop
-                origins.append((max(y1, 0), max(x1, 0)))
+        origins, h_crop, w_crop = slide_window_origins(
+            h_img, w_img, h_crop, w_crop, h_stride, w_stride)
 
         # gather all windows into one (n_win * N, h_crop, w_crop, C) batch
         crops = [jax.lax.dynamic_slice(

@@ -1,0 +1,91 @@
+"""Mesh/pjit parallelism tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_segmentation_lab_tpu.core.builder import build_optimizer
+from image_segmentation_lab_tpu.models.builder import build_segmentor
+from image_segmentation_lab_tpu.parallel import (get_mesh, get_dist_info,
+                                                 make_sharded_train_step,
+                                                 master_only, replicate,
+                                                 shard_batch)
+from image_segmentation_lab_tpu.train_state import (create_train_state,
+                                                    make_train_step)
+
+
+def small_cfg(test_cfg=None):
+    return dict(
+        type="EncoderDecoder",
+        backbone=dict(type="ResNet", depth=18, num_stages=2,
+                      strides=(1, 2), dilations=(1, 1), out_indices=(0, 1),
+                      norm_cfg=dict(type="SyncBatchNorm", requires_grad=True)),
+        decode_head=dict(type="FCNHead", in_channels=128, in_index=1,
+                         channels=16, num_convs=1, concat_input=False,
+                         num_classes=2, dropout_ratio=0,
+                         norm_cfg=dict(type="SyncBatchNorm",
+                                       requires_grad=True),
+                         loss_decode=dict(type="CrossEntropyLoss")),
+        test_cfg=test_cfg or dict(mode="whole"))
+
+
+def test_sharded_train_step_matches_single_device():
+    """DP over 8 devices must match single-device training exactly
+    (same global batch, SyncBN stats are global either way)."""
+    model = build_segmentor(small_cfg())
+    tx = build_optimizer(dict(type="SGD", lr=0.1, momentum=0.9))
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 32, 32, 3), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).randint(0, 2, (8, 32, 32)))
+
+    state1 = create_train_state(model, rng, x[:1], gt[:1], tx)
+    step1 = make_train_step(model, tx, donate=False)
+
+    mesh = get_mesh(8)
+    state8 = replicate(create_train_state(model, rng, x[:1], gt[:1], tx),
+                       mesh)
+    step8 = make_sharded_train_step(model, tx, mesh, donate=False)
+    xs, gts = shard_batch((x, gt), mesh)
+
+    for i in range(3):
+        k = jax.random.fold_in(rng, i)
+        state1, lv1 = step1(state1, x, gt, k)
+        state8, lv8 = step8(state8, xs, gts, k)
+        np.testing.assert_allclose(float(lv1["loss"]), float(lv8["loss"]),
+                                   rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_multichip_slide_inference_matches_single():
+    from image_segmentation_lab_tpu.parallel.slide import \
+        make_multichip_slide_inference
+    cfg = small_cfg(test_cfg=dict(mode="slide", crop_size=(24, 24),
+                                  stride=(16, 16)))
+    model = build_segmentor(cfg)
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 40, 40, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           x, method="inference")
+    single = model.apply(variables, x, method="inference")
+    mesh = get_mesh(8)
+    multi_fn = make_multichip_slide_inference(model, mesh)
+    multi = multi_fn(replicate(variables, mesh), replicate(x, mesh))
+    np.testing.assert_allclose(np.asarray(single), np.asarray(multi),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dist_utils_single_process():
+    rank, world = get_dist_info()
+    assert rank == 0 and world == 1
+    calls = []
+
+    @master_only
+    def record(v):
+        calls.append(v)
+        return v
+
+    assert record(5) == 5 and calls == [5]
