@@ -84,6 +84,34 @@ def measure(model, variables, batch: int, iters: int, warmup: int = 2):
     return float(throughput), p50
 
 
+def measure_train(model, batch: int, iters: int) -> float:
+    """Train-step throughput (images/sec) at 512x512."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_segmentation_lab_tpu.core.builder import build_optimizer
+    from image_segmentation_lab_tpu.train_state import (create_train_state,
+                                                        make_train_step)
+
+    tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9,
+                              weight_decay=5e-4))
+    rng = jax.random.PRNGKey(0)
+    img = jnp.asarray(np.random.RandomState(0).randn(batch, 512, 512, 3),
+                      jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).randint(0, 2,
+                                                      (batch, 512, 512)))
+    state = create_train_state(model, rng, img[:1], gt[:1], tx)
+    step = make_train_step(model, tx)
+    state, lv = step(state, img, gt, rng)
+    float(lv["loss"])  # force completion of the warmup/compile step
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, lv = step(state, img, gt, jax.random.fold_in(rng, i))
+        float(lv["loss"])
+    return batch * iters / (time.perf_counter() - t0)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -92,6 +120,9 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--remeasure-cpu", action="store_true")
     parser.add_argument("--no-amp", action="store_true")
+    parser.add_argument("--train-bench", action="store_true",
+                        help="also measure train-step throughput (extra "
+                             "compile ~minutes)")
     args = parser.parse_args()
 
     if args.quick:
@@ -132,6 +163,11 @@ def main():
     if cpu_ips:
         vs_baseline = throughput / cpu_ips
 
+    train_ips = None
+    if args.train_bench:
+        train_ips = measure_train(model, batch=4 if args.quick else 8,
+                                  iters=iters)
+
     result = {
         "metric": METRIC,
         "value": round(throughput, 3),
@@ -144,6 +180,8 @@ def main():
             "precision": "fp32" if (args.no_amp or args.quick) else "bf16",
             "cpu_baseline_images_per_sec": (round(cpu_ips, 3)
                                             if cpu_ips else None),
+            "train_images_per_sec": (round(train_ips, 3)
+                                     if train_ips else None),
             "quick": args.quick,
         },
     }
