@@ -1,3 +1,4 @@
+from .cityscapes import CityscapesDataset
 from .custom import CustomDataset
 from .kvasir_seg import KvasirSegDataset
 from .loader import DataLoader

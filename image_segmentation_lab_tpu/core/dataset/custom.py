@@ -183,9 +183,9 @@ class CustomDataset:
                                               img_info["ann_filename"])
         if self.ori_img_size:
             infos["ori_img_size_all"] = self.ori_img_size
-        else:
-            shape = imread(infos["img_file_path"]).shape[:2]
-            infos["ori_img_size_each"] = tuple(shape)
+        # else: prepare_*_data records ori_img_size_each from the single
+        # decode (the reference probes via a second cv2.imread,
+        # custom.py:195-197 — a full redundant JPEG decode per item)
         return infos
 
     def __getitem__(self, idx):
@@ -209,8 +209,13 @@ class CustomDataset:
             mask = out
         return mask
 
+    def _note_ori_size(self, infos, image):
+        if "ori_img_size_all" not in infos:
+            infos["ori_img_size_each"] = tuple(image.shape[:2])
+
     def prepare_train_val_data(self, infos):
         image = imread(infos["img_file_path"], channel_order="rgb")
+        self._note_ori_size(infos, image)
         ori_gt = self._load_mask(infos["ann_file_path"]).astype(np.float32)
         if self.return_ori_seg_gt:
             infos["ori_gt"] = ori_gt
@@ -219,6 +224,7 @@ class CustomDataset:
 
     def prepare_test_data(self, infos):
         image = imread(infos["img_file_path"], channel_order="rgb")
+        self._note_ori_size(infos, image)
         image, _ = self._cpu_resize_pair(image)
         return image, None, infos
 

@@ -21,6 +21,7 @@ class KvasirSegDataset(CustomDataset):
 
     def prepare_train_val_data(self, infos):
         image = imread(infos["img_file_path"], channel_order="rgb")
+        self._note_ori_size(infos, image)
         ori_gt = imread(infos["ann_file_path"], flag="grayscale").astype(
             np.float32)
         ori_gt = (ori_gt >= 250).astype(np.float32)  # {0,1}

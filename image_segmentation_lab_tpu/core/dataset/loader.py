@@ -39,8 +39,14 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
+        # two executors: items decode on `_pool`, the one-batch prefetch runs
+        # on its own thread — _fetch must never run *inside* `_pool` or a
+        # single-worker pool deadlocks (the prefetch task would block
+        # waiting for item tasks that can't start)
         self._pool = (ThreadPoolExecutor(max_workers=self.num_workers)
                       if self.num_workers > 0 else None)
+        self._prefetcher = (ThreadPoolExecutor(max_workers=1)
+                            if self.num_workers > 0 else None)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -76,10 +82,10 @@ class DataLoader:
         fut = None
         for b in batches:
             if fut is None:
-                fut = self._pool.submit(self._fetch, b)
+                fut = self._prefetcher.submit(self._fetch, b)
                 continue
             current = fut.result()
-            fut = self._pool.submit(self._fetch, b)
+            fut = self._prefetcher.submit(self._fetch, b)
             yield current
         if fut is not None:
             yield fut.result()

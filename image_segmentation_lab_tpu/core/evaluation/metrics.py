@@ -186,14 +186,18 @@ class SegEvaluator:
         ret_metrics_class = OrderedDict({
             k: np.round(np.asarray(v) * 100, 2)
             for k, v in ret_metrics.items()})
+        # drop the ignored class's ROW when ignore_index names a real class
+        # slot (e.g. an in-range id reserved as ignore); the reference
+        # instead compared metric-column names against a class name — a
+        # no-op at best, a lost metric column at worst (metrics.py:199-205).
+        # Negative ignore values (Kvasir's -1) mark invalid pixels, not a
+        # class, so nothing is dropped then.
+        keep = [i for i in range(len(self.class_names))
+                if i != self.ignore_index]
         table = AsciiTable()
-        table.add_column("Class", self.class_names)
-        ignored_name = self.class_names[self.ignore_index] \
-            if -len(self.class_names) <= self.ignore_index < len(
-                self.class_names) else None
+        table.add_column("Class", [self.class_names[i] for i in keep])
         for key, val in ret_metrics_class.items():
-            if key != ignored_name:
-                table.add_column(key, val)
+            table.add_column(key, [val[i] for i in keep])
         print("\n" + table.get_string())
         metrics.update(ret_metrics_class)
         return metrics

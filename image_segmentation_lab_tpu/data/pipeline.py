@@ -54,6 +54,7 @@ class Pipeline:
     def __init__(self, root: Transform):
         self.root = root
         self._jitted = None
+        self._jitted_nomask = None
 
     @classmethod
     def from_yaml(cls, path) -> "Pipeline":
@@ -95,5 +96,7 @@ class Pipeline:
                     lambda k, i, m: self._single(k, i, m)))
             img, mask = self._jitted(keys, images, masks)
             return img, mask.astype(jnp.int32)
-        fn = jax.jit(jax.vmap(lambda k, i: self._single(k, i, None)[0]))
-        return fn(keys, images), None
+        if self._jitted_nomask is None:
+            self._jitted_nomask = jax.jit(
+                jax.vmap(lambda k, i: self._single(k, i, None)[0]))
+        return self._jitted_nomask(keys, images), None

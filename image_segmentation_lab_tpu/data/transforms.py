@@ -510,7 +510,8 @@ class ISONoise(Transform):
         # poisson approx: gaussian with std sqrt(luma)
         noise = jax.random.normal(k3, x.shape) * jnp.sqrt(
             jnp.maximum(luma, 1e-6)) * intensity
-        hue_noise = jax.random.normal(k4, luma.shape) * color_shift * 360.0
+        hue_noise = (jax.random.normal(k4, luma.shape)
+                     * color_shift * intensity * 360.0)
         hsv = _rgb_to_hsv(jnp.clip(x + noise, 0.0, 1.0))
         h = (hsv[..., 0] + hue_noise[..., 0]) % 360.0
         out = _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))

@@ -72,6 +72,9 @@ class DiceLoss:
                  reduction_override=None, **kwargs):
         assert reduction_override in (None, "none", "mean", "sum")
         reduction = reduction_override or self.reduction
+        # per-pixel sampler weights don't apply to the per-image dice
+        # vector — mmseg's DiceLoss likewise swallows `weight`
+        weight = None
         class_weight = (jnp.asarray(self.class_weight, jnp.float32)
                         if self.class_weight is not None else None)
         pred = jax.nn.softmax(pred.astype(jnp.float32), axis=-1)

@@ -69,13 +69,19 @@ def avg_pool2d(x: jnp.ndarray, kernel_size: IntPair, stride: IntPair = None,
         window_strides=(1, sh, sw, 1), padding=pads)
     if count_include_pad:
         # torch counts *explicit* padding (up to `p` per side) but not the
-        # extra ceil_mode overhang; for the common p=0 case divisor is k*k
-        # except windows clipped by ceil overhang.
+        # extra ceil_mode overhang.  Build a 0/1 coverage map matching the
+        # summed array's padded extent (lo pad = p of ones; hi pad = up to p
+        # ones for explicit padding, zeros for any ceil overhang beyond it).
+        def hi_ones(hi, p):
+            return min(hi, p), max(hi - p, 0)
+
+        h1, h0 = hi_ones(pad_h[1], ph)
+        w1, w0 = hi_ones(pad_w[1], pw)
         ones = jnp.ones((1,) + x.shape[1:3] + (1,), jnp.float32)
-        ones = jnp.pad(ones, ((0, 0), (ph, ph), (pw, pw), (0, 0)),
+        ones = jnp.pad(ones, ((0, 0), (ph, h1), (pw, w1), (0, 0)),
                        constant_values=1.0)
-        extra = ((0, 0), (0, pad_h[1] - ph), (0, pad_w[1] - pw), (0, 0))
-        ones = jnp.pad(ones, extra, constant_values=0.0)
+        ones = jnp.pad(ones, ((0, 0), (0, h0), (0, w0), (0, 0)),
+                       constant_values=0.0)
         count = jax.lax.reduce_window(
             ones, 0.0, jax.lax.add, (1, kh, kw, 1), (1, sh, sw, 1),
             ((0, 0), (0, 0), (0, 0), (0, 0)))

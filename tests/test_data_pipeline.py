@@ -153,3 +153,27 @@ def test_dataset_custom_classes_remap(tmp_path):
     # remapped: b → -1, c → 1
     vals = set(np.unique(mask).astype(int))
     assert vals == {-1, 0, 1}
+
+
+def test_loader_single_worker_no_deadlock():
+    """num_workers=1 must not deadlock (prefetch runs on its own thread)."""
+    ds = SyntheticDataset(
+        pipeline="configs/augmentation/synthetic_val_transform.yaml",
+        length=6, image_size=(32, 32))
+    loader = DataLoader(ds, batch_size=2, num_workers=1,
+                        collate_fn=ds.collate_fn)
+    assert len(list(loader)) == 3
+
+
+def test_single_decode_records_ori_size(tmp_path):
+    import cv2
+    from image_segmentation_lab_tpu.core.dataset import KvasirSegDataset
+    img_dir, ann_dir = tmp_path / "images", tmp_path / "masks"
+    img_dir.mkdir(); ann_dir.mkdir()
+    cv2.imwrite(str(img_dir / "a.jpg"), np.zeros((30, 40, 3), np.uint8))
+    cv2.imwrite(str(ann_dir / "a.jpg"), np.zeros((30, 40), np.uint8))
+    ds = KvasirSegDataset(
+        pipeline="configs/augmentation/synthetic_val_transform.yaml",
+        img_dir=str(img_dir), ann_dir=str(ann_dir), seg_map_suffix=".jpg")
+    _, _, infos = ds[0]
+    assert infos["ori_img_size_each"] == (30, 40)

@@ -90,3 +90,13 @@ def test_mixed_heads_and_sum_consistency(rng):
     ev.process(1, {"decode": a, "aux": a}, {"ori_gt": gt})
     m = ev.compute_metrics()
     np.testing.assert_allclose(m["decode"]["IoU"], m["aux"]["IoU"])
+
+
+def test_in_range_ignore_index_drops_class_row(rng, capsys):
+    logits = rng.randn(1, 8, 8, 3).astype(np.float32)
+    gt = rng.randint(0, 3, (1, 8, 8))
+    ev = make_eval(num_classes=3, ignore_index=2)
+    ev.process(0, {"decode": logits}, {"ori_gt": gt})
+    ev.compute_metrics()
+    printed = capsys.readouterr().out
+    assert "c2" not in printed and "c0" in printed and "IoU" in printed

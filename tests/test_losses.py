@@ -169,3 +169,15 @@ def test_accuracy_matches_manual(rng):
     valid = label != 255
     ref = (am[valid] == label[valid]).mean() * 100
     np.testing.assert_allclose(out, ref, rtol=1e-3)
+
+
+def test_dice_loss_ignores_pixel_weight(rng):
+    """OHEM sampler weights must not crash DiceLoss (mmseg swallows them)."""
+    pred = _rand(rng, 2, 8, 8, 3)
+    label = rng.randint(0, 3, (2, 8, 8))
+    w = rng.rand(2, 8, 8).astype(np.float32)
+    loss_fn = DiceLoss()
+    a = float(loss_fn(jnp.asarray(pred), jnp.asarray(label)))
+    b = float(loss_fn(jnp.asarray(pred), jnp.asarray(label),
+                      weight=jnp.asarray(w)))
+    np.testing.assert_allclose(a, b)
