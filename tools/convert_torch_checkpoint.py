@@ -1,0 +1,117 @@
+"""Convert reference (torch) checkpoints to this framework's format.
+
+A user of the reference lab has ``.pth`` files saved by its ``save_model``
+(``{'metadata', 'state_dict'}`` with torch tensors, train_utils.py:160-165)
+or raw torch ``state_dict``s.  This tool maps them onto this framework's
+naming and layout so ``--load-from`` / ``PretrainedInit`` work:
+
+* conv kernels OIHW → HWIO transpose (covers grouped/depthwise convs);
+  linear (out,in) → (in,out);
+* name rewrites for the structural differences (torch Sequential indices vs
+  linen list fields): ``layerN.K.`` → ``layerN.blocks_K.``,
+  ``downsample.0/1`` → ``downsample_conv/bn``, ``convs.K`` → ``convs_K``,
+  ASPP/PPM branch indices → ``branches_K``, deep-stem Sequential indices →
+  ``stem_K`` (ReLU slots removed);
+* norm ``num_batches_tracked`` dropped (our BatchNorm has fixed momentum).
+
+Usage:
+    python tools/convert_torch_checkpoint.py in.pth out.pth
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+# ordered rename rules (regex, replacement)
+RENAME_RULES = [
+    # residual stages: layer1.0.conv1 → layer1.blocks_0.conv1
+    (re.compile(r"(layer\d+)\.(\d+)\."), r"\1.blocks_\2."),
+    # block downsample Sequential → named fields
+    (re.compile(r"\.downsample\.0\."), ".downsample_conv."),
+    (re.compile(r"\.downsample\.1\."), ".downsample_bn."),
+    # FCN head conv stack
+    (re.compile(r"\.convs\.(\d+)\."), r".convs_\1."),
+    # ASPP / PPM branches: aspp_modules.0 → aspp_modules.branches_0
+    (re.compile(r"\.(aspp_modules|psp_modules)\.(\d+)\."),
+     r".\1.branches_\2."),
+    # PPM branch Sequential(AdaptiveAvgPool2d, ConvModule): drop the `.1`
+    (re.compile(r"\.psp_modules\.(branches_\d+)\.1\."), r".psp_modules.\1."),
+    # ASPP image pool Sequential(AdaptiveAvgPool2d, ConvModule)
+    (re.compile(r"\.image_pool\.1\."), ".image_pool_conv."),
+    # deep stem Sequential (conv,bn,relu)x3 at indices 0,1,3,4,6,7
+    (re.compile(r"\.stem\.0\."), ".stem_0."),
+    (re.compile(r"\.stem\.1\."), ".stem_1."),
+    (re.compile(r"\.stem\.3\."), ".stem_2."),
+    (re.compile(r"\.stem\.4\."), ".stem_3."),
+    (re.compile(r"\.stem\.6\."), ".stem_4."),
+    (re.compile(r"\.stem\.7\."), ".stem_5."),
+    # conv_cat etc. keep their names; module. prefix handled by loader
+]
+
+# collections: running stats → batch_stats, everything else → params
+STAT_LEAVES = ("running_mean", "running_var")
+
+
+def convert_key(key: str) -> str:
+    key = re.sub(r"^module\.", "", key)
+    for pattern, repl in RENAME_RULES:
+        key = pattern.sub(repl, key)
+    return key
+
+
+def convert_tensor(key: str, t) -> np.ndarray:
+    arr = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+    if key.endswith(".weight") and arr.ndim == 4:
+        return np.ascontiguousarray(arr.transpose(2, 3, 1, 0))  # OIHW→HWIO
+    if arr.ndim == 2 and key.endswith(".weight"):
+        return np.ascontiguousarray(arr.T)
+    return arr
+
+
+def convert_state_dict(torch_sd: dict) -> dict:
+    out = {}
+    for key, value in torch_sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        out[convert_key(key)] = convert_tensor(key, value)
+    return out
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("src", type=Path, help="torch checkpoint (.pth)")
+    parser.add_argument("dst", type=Path, help="output checkpoint path")
+    args = parser.parse_args()
+
+    import torch
+    ckpt = torch.load(args.src, map_location="cpu", weights_only=False)
+    metadata = {}
+    state_dict = ckpt
+    if isinstance(ckpt, dict) and "state_dict" in ckpt:
+        state_dict = ckpt["state_dict"]
+        metadata = ckpt.get("metadata", ckpt.get("meta", {})) or {}
+
+    converted = convert_state_dict(state_dict)
+    payload = {"metadata": {**metadata,
+                            "converted_from": str(args.src),
+                            "converter": "convert_torch_checkpoint.py"},
+               "state_dict": converted}
+    args.dst.parent.mkdir(parents=True, exist_ok=True)
+    with open(args.dst, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    print(f"converted {len(converted)} tensors → {args.dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
