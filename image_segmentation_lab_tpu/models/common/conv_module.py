@@ -65,7 +65,11 @@ class ConvModule(nn.Module):
         if bias == "auto":
             bias = not self.with_norm
 
-        official_padding_mode = self.padding_mode in ("zeros", "circular")
+        if self.padding_mode == "circular":
+            raise NotImplementedError(
+                "padding_mode='circular' is not implemented (the conv "
+                "wrapper always zero-pads; no reference config uses it)")
+        official_padding_mode = self.padding_mode == "zeros"
         self.with_explicit_padding = not official_padding_mode
         if self.with_explicit_padding:
             pad_cfg = dict(type=self.padding_mode)

@@ -52,6 +52,29 @@ def slide_window_origins(h_img: int, w_img: int, h_crop: int, w_crop: int,
     return origins, h_crop, w_crop
 
 
+def gather_windows(img, origins, h_crop: int, w_crop: int):
+    """Stack all slide windows into one (n_win·N, h_crop, w_crop, C) batch."""
+    N, _, _, C = img.shape
+    crops = [jax.lax.dynamic_slice(img, (0, y1, x1, 0), (N, h_crop, w_crop, C))
+             for (y1, x1) in origins]
+    return jnp.concatenate(crops, axis=0)
+
+
+def stitch_windows(crop_logits, origins, h_crop: int, w_crop: int,
+                   batch_size: int, h_img: int, w_img: int):
+    """Overlap-average window logits back onto the full canvas
+    (scatter-add + compile-time count-map normalization)."""
+    out_ch = crop_logits.shape[-1]
+    preds = jnp.zeros((batch_size, h_img, w_img, out_ch), crop_logits.dtype)
+    count = np.zeros((1, h_img, w_img, 1), np.float32)
+    for i, (y1, x1) in enumerate(origins):
+        logit = crop_logits[i * batch_size:(i + 1) * batch_size]
+        preds = preds.at[:, y1:y1 + h_crop, x1:x1 + w_crop, :].add(logit)
+        count[:, y1:y1 + h_crop, x1:x1 + w_crop, :] += 1
+    assert (count == 0).sum() == 0  # full coverage (static check)
+    return preds * jnp.asarray(1.0 / count)
+
+
 @SEGMENTOR.register()
 class EncoderDecoder(BaseSegmentor):
     backbone: Dict = None
@@ -177,23 +200,11 @@ class EncoderDecoder(BaseSegmentor):
         origins, h_crop, w_crop = slide_window_origins(
             h_img, w_img, h_crop, w_crop, h_stride, w_stride)
 
-        # gather all windows into one (n_win * N, h_crop, w_crop, C) batch
-        crops = [jax.lax.dynamic_slice(
-            img, (0, y1, x1, 0), (batch_size, h_crop, w_crop, img.shape[3]))
-            for (y1, x1) in origins]
-        crop_batch = jnp.concatenate(crops, axis=0)
+        # all windows as one MXU-sized batch, one encode_decode call
+        crop_batch = gather_windows(img, origins, h_crop, w_crop)
         crop_logits = self.encode_decode(crop_batch, train=train)
-
-        # scatter-add overlapping logits
-        preds = jnp.zeros((batch_size, h_img, w_img, out_channels),
-                          crop_logits.dtype)
-        count = np.zeros((1, h_img, w_img, 1), np.float32)
-        for i, (y1, x1) in enumerate(origins):
-            logit = crop_logits[i * batch_size:(i + 1) * batch_size]
-            preds = preds.at[:, y1:y1 + h_crop, x1:x1 + w_crop, :].add(logit)
-            count[:, y1:y1 + h_crop, x1:x1 + w_crop, :] += 1
-        assert (count == 0).sum() == 0  # full coverage (static check)
-        preds = preds * jnp.asarray(1.0 / count)  # constant reciprocal
+        preds = stitch_windows(crop_logits, origins, h_crop, w_crop,
+                               batch_size, h_img, w_img)
         if rescale and ori_img_size is not None:
             preds = resize(preds, size=tuple(ori_img_size), mode="bilinear",
                            align_corners=self.align_corners, warning=False)

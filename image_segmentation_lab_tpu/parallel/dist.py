@@ -20,6 +20,9 @@ import os
 from typing import Optional, Tuple
 
 
+_dist_initialized = False
+
+
 def init_dist(launcher: str = "jax",
               coordinator_address: Optional[str] = None,
               num_processes: Optional[int] = None,
@@ -29,10 +32,15 @@ def init_dist(launcher: str = "jax",
     ``launcher`` values mirror the reference CLI ('pytorch'/'mpi'/'slurm' are
     accepted and treated identically — JAX reads the coordination info from
     standard env vars / the TPU metadata service when args are None).
+
+    Must run before any JAX call that initializes the XLA backend, so the
+    idempotence guard is a module flag — probing ``jax.process_count()``
+    here would itself initialize the backend and doom the call.
     """
+    global _dist_initialized
+    if _dist_initialized:
+        return
     import jax
-    if jax.process_count() > 1:
-        return  # already initialized
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address
@@ -42,8 +50,12 @@ def init_dist(launcher: str = "jax",
         kwargs["process_id"] = process_id
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception as e:  # single-process fallback
-        if coordinator_address is not None:
+        _dist_initialized = True
+    except Exception as e:
+        if kwargs:
+            # explicit multi-process request must not silently degrade to
+            # N independent single-process jobs (every rank thinking it is
+            # master would corrupt checkpoints)
             raise
         print(f"jax.distributed.initialize skipped ({e})")
 

@@ -69,39 +69,13 @@ def make_sharded_train_step(model, tx, mesh: Mesh, axis: str = "data",
                             donate: bool = True):
     """Data-parallel train step over ``mesh``.
 
-    Same body as ``train_state.make_train_step``; the shardings turn it into
-    an SPMD program: batch split over ``axis``, state replicated, gradients
-    all-reduced by XLA.
+    Exactly the shared ``train_state.build_train_step_fn`` body; the
+    shardings turn it into an SPMD program: batch split over ``axis``, state
+    replicated, gradients all-reduced by XLA.
     """
-    import optax
+    from ..train_state import build_train_step_fn
 
-    from ..train_state import TrainState, parse_losses
-
-    def train_step(state: TrainState, img, gt, dropout_rng):
-        def loss_fn(params):
-            variables = {"params": params,
-                         "frozen_params": state.frozen_params,
-                         "batch_stats": state.batch_stats}
-            (_, losses), mutated = model.apply(
-                variables, img, gt, img_metas={}, rescale=False,
-                return_loss=True, train=True,
-                rngs={"dropout": dropout_rng},
-                mutable=["batch_stats"])
-            loss, log_vars = parse_losses(losses)
-            return loss, (mutated, log_vars)
-
-        grads, (mutated, log_vars) = jax.grad(
-            loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-        new_params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(
-            step=state.step + 1,
-            params=new_params,
-            opt_state=new_opt_state,
-            batch_stats=mutated.get("batch_stats", state.batch_stats))
-        return new_state, log_vars
-
+    train_step = build_train_step_fn(model, tx)
     rep = replicated(mesh)
     data = batch_sharding(mesh, axis)
     return jax.jit(

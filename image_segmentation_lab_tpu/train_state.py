@@ -68,15 +68,10 @@ def create_train_state(model, rng, sample_img, sample_gt,
         opt_state=tx.init(params))
 
 
-def make_train_step(model, tx: optax.GradientTransformation,
-                    donate: bool = True):
-    """Build the jitted train step.
-
-    batch = (img (N,H,W,C) float, gt (N,H,W) int).  Returns
-    (new_state, log_vars).  The whole step — including BN stat updates and
-    the optimizer — is one XLA program; buffers are donated so params update
-    in place in HBM.
-    """
+def build_train_step_fn(model, tx: optax.GradientTransformation):
+    """The un-jitted train-step body, shared by the single-device
+    (``make_train_step``) and mesh-sharded (``parallel.mesh``) builders so
+    the two can never drift."""
 
     def train_step(state: TrainState, img, gt, dropout_rng):
         def loss_fn(params):
@@ -103,17 +98,72 @@ def make_train_step(model, tx: optax.GradientTransformation,
             batch_stats=mutated.get("batch_stats", state.batch_stats))
         return new_state, log_vars
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    return train_step
+
+
+def make_train_step(model, tx: optax.GradientTransformation,
+                    donate: bool = True):
+    """Build the jitted train step.
+
+    batch = (img (N,H,W,C) float, gt (N,H,W) int).  Returns
+    (new_state, log_vars).  The whole step — including BN stat updates and
+    the optimizer — is one XLA program; buffers are donated so params update
+    in place in HBM.
+    """
+    return jax.jit(build_train_step_fn(model, tx),
+                   donate_argnums=(0,) if donate else ())
+
+
+def head_threshold(model) -> float:
+    """Binary-segmentation threshold from the (last) decode-head cfg."""
+    from collections.abc import Mapping
+    dh = getattr(model, "decode_head", None)
+    if isinstance(dh, (list, tuple)) and dh:
+        dh = dh[-1]
+    if isinstance(dh, Mapping):
+        t = dh.get("threshold")
+        return 0.3 if t is None else float(t)
+    return 0.3
+
+
+def binarize_channels(value, threshold: float, is_probs: bool = False):
+    """Make single-channel (binary) outputs argmax-able by the evaluator.
+
+    For ``out_channels == 1`` the evaluator's channel argmax would always
+    yield class 0 (the reference has the same latent defect,
+    metrics.py:103-105).  Stacking a constant threshold channel in front —
+    ``[logit(t), x]`` for logits, ``[t, p]`` for probabilities — makes
+    ``argmax == (sigmoid(x) > t)`` exactly, preserving the head's
+    ``threshold`` contract (decode_head.py:102-124) with no evaluator
+    changes."""
+    import math
+
+    def fix(x):
+        if not hasattr(x, "ndim") or x.shape[-1] != 1:
+            return x
+        const = threshold if is_probs else math.log(
+            threshold / max(1.0 - threshold, 1e-8))
+        return jnp.concatenate(
+            [jnp.full_like(x, const), x], axis=-1)
+
+    if isinstance(value, dict):
+        return {k: binarize_channels(v, threshold, is_probs)
+                for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return type(value)(fix(v) for v in value)
+    return fix(value)
 
 
 def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None):
-    """Jitted validation step: losses + per-head probabilities.
+    """Jitted validation step: losses + per-head evaluator-ready scores.
 
     Mirrors ``validate_one_epoch``'s per-batch model call
-    (reference train_utils.py:106-137) — forward with loss, then per-head
-    sigmoid/softmax probabilities for the evaluator, optionally rescaled to a
+    (reference train_utils.py:106-137) — forward with loss, per-head logits
+    (single-channel binary heads are expanded via ``binarize_channels`` so
+    the evaluator's argmax honors the threshold), optionally rescaled to a
     static uniform ``ori_img_size_hw``.
     """
+    thr = head_threshold(model)
 
     def eval_step(state: TrainState, img, gt):
         variables = state.variables()
@@ -123,6 +173,8 @@ def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None):
             rescale=rescale_size is not None, return_loss=True, train=False,
             mutable=[])
         _, log_vars = parse_losses(losses)
+        seg_logits = {k: binarize_channels(v, thr)
+                      for k, v in seg_logits.items()}
         return seg_logits, log_vars
 
     return jax.jit(eval_step)

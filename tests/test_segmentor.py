@@ -144,3 +144,29 @@ def test_batch_test_covers_all_images(built):
     outs = model.apply(variables, imgs, img_metas=None, return_loss=False,
                        rescale=False)
     assert len(outs) == 2
+
+
+def test_binary_eval_step_honors_threshold():
+    """out_channels==1 eval must threshold, not channel-argmax (which would
+    always predict class 0 — latent reference defect)."""
+    from image_segmentation_lab_tpu.train_state import (TrainState,
+                                                        make_eval_step)
+    model = build_segmentor(small_cfg(aux=False, out_channels=1))
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)
+    gt = jnp.zeros((2, 32, 32), jnp.int32)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, gt, img_metas={}, rescale=False,
+                           return_loss=True, train=True)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       frozen_params=variables.get("frozen_params", {}),
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_state=None)
+    eval_step = make_eval_step(model)
+    seg_logits, _ = eval_step(state, x, gt)
+    out = np.asarray(seg_logits["decode"])
+    assert out.shape[-1] == 2  # threshold channel + logit channel
+    # argmax equals sigmoid(x) > 0.3 (default threshold)
+    raw = out[..., 1]
+    expect = (1 / (1 + np.exp(-raw))) > 0.3
+    np.testing.assert_array_equal(out.argmax(-1).astype(bool), expect)

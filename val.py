@@ -129,12 +129,17 @@ def main():
                     n += 1
             return acc / n
 
+        from image_segmentation_lab_tpu.train_state import (binarize_channels,
+                                                            head_threshold)
+        thr = head_threshold(model)
+
         class TTAStep:
             def __call__(self, state, img, gt):
                 probs = tta_step(state.variables(), img)
                 if dataset.ori_img_size:
                     probs = resize(probs, size=tuple(dataset.ori_img_size),
                                    mode="bilinear", align_corners=False)
+                probs = binarize_channels(probs, thr, is_probs=True)
                 return {"decode": probs}, {}
 
         eval_step = TTAStep()
