@@ -17,8 +17,10 @@ TPU-native split of the augmentation work:
 
 Items are numpy ``(image uint8 HWC RGB, mask float32 HW, infos)``; the
 static ``collate_fn`` mirrors the reference's
-(core/dataset/kvasir_seg.py:54-87): uniform original sizes → tuple +
-stacked ``ori_gt``; mixed sizes → lists.
+(core/dataset/kvasir_seg.py:54-87): uniform *original* sizes → tuple +
+stacked ``ori_gt``; mixed original sizes → lists in the info dict.  The
+pipeline-processed images themselves must share one shape (pipelines start
+with a Resize) — the compiled train step needs static batches.
 
 Deliberate divergence: images are decoded RGB.  The reference passes
 ``cv.COLOR_BGR2RGB`` as the *flags* argument of ``cv2.imread``
@@ -66,13 +68,7 @@ class CustomDataset:
                  ori_img_size=None,
                  return_ori_seg_gt=False,
                  file_client=HardDiskBackend):
-        if isinstance(pipeline, (str,)):
-            self.pipeline = Pipeline.from_yaml(pipeline)
-        elif isinstance(pipeline, Pipeline):
-            self.pipeline = pipeline
-        else:
-            self.pipeline = Pipeline.from_dict(pipeline)
-        self._split_leading_resize()
+        self._init_pipeline(pipeline)
 
         self.img_dir = img_dir
         self.img_suffix = img_suffix
@@ -108,6 +104,17 @@ class CustomDataset:
             self.split)
 
     # ---------------------------------------------------------- pipeline
+    def _init_pipeline(self, pipeline):
+        """str (YAML path) / Pipeline / dict → ``self.pipeline`` + the
+        CPU-vs-device split (shared with SyntheticDataset)."""
+        if isinstance(pipeline, str):
+            self.pipeline = Pipeline.from_yaml(pipeline)
+        elif isinstance(pipeline, Pipeline):
+            self.pipeline = pipeline
+        else:
+            self.pipeline = Pipeline.from_dict(pipeline)
+        self._split_leading_resize()
+
     def _split_leading_resize(self):
         """Hoist the pipeline's leading Resize to the CPU decode step."""
         self.cpu_resize: Optional[Resize] = None
@@ -231,8 +238,18 @@ class CustomDataset:
     # ---------------------------------------------------------- collate
     @staticmethod
     def collate_fn(batch):
-        """(reference kvasir_seg.py:54-87 semantics, numpy arrays)."""
+        """(reference kvasir_seg.py:54-87 semantics, numpy arrays).
+
+        Items must share one shape — the compiled training step needs a
+        static batch, so augmentation pipelines must start with a Resize
+        (or the dataset must produce uniform sizes)."""
         images, labels, infos = zip(*batch)
+        shapes = {np.asarray(im).shape for im in images}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"cannot collate mixed image sizes {sorted(shapes)}; start "
+                f"the augmentation YAML with a Resize (static shapes are "
+                f"required for the compiled train step)")
         images = np.stack([np.asarray(im) for im in images])
         if labels[0] is not None:
             labels = np.stack([np.asarray(l) for l in labels])

@@ -37,13 +37,7 @@ class SyntheticDataset(CustomDataset):
             self.CLASSES = [f"class_{i}" for i in range(num_classes)]
             rng = np.random.RandomState(42)
             self.PALETTE = rng.randint(0, 255, (num_classes, 3)).tolist()
-        from ...data.pipeline import Pipeline
-        if isinstance(pipeline, str):
-            self.pipeline = Pipeline.from_yaml(pipeline)
-        else:
-            self.pipeline = (pipeline if isinstance(pipeline, Pipeline)
-                             else Pipeline.from_dict(pipeline))
-        self._split_leading_resize()
+        self._init_pipeline(pipeline)
         self.length = int(length)
         self.image_size = tuple(image_size)
         self.seed = seed

@@ -141,7 +141,8 @@ class SegEvaluator:
                                              self.align_corners)
                 pred = logit.argmax(-1).astype(np.int64)
                 plot_preds.append(pred)
-                valid = gt != self.ignore_index
+                valid = ((gt != self.ignore_index) & (gt >= 0)
+                         & (gt < self.num_classes))
                 p, g = pred[valid], gt[valid]
                 inter = _np_hist(p[p == g], self.num_classes)
                 self._accumulate(head, inter, _np_hist(p, self.num_classes),

@@ -62,11 +62,29 @@ def parse_and_backup_config(filename,
         backup_dir.mkdir(parents=True, exist_ok=True)
         backup_file = backup_dir / filename.name
         shutil.copy(str(filename), str(backup_dir))
+        # metadata key = the config kind: the directory right after
+        # `configs/` when present (works for absolute paths too), else the
+        # parent directory name
         parts = filename.parts
-        meta_key = (parts[1] if len(parts) > 1 else filename.parent.name) + "_config"
+        if "configs" in parts[:-1]:
+            kind = parts[parts.index("configs") + 1]
+            if kind == filename.name:  # config directly under configs/
+                kind = filename.parent.name
+        else:
+            kind = filename.parent.name
         if isinstance(metadata, dict):
-            metadata[meta_key] = str(backup_file)
+            metadata[kind + "_config"] = str(backup_file)
     return load_python_config(filename)
+
+
+def require_config_key(cfg: Dict[str, Any], key: str, path) -> Any:
+    """Pop ``cfg[key]`` or exit with a message naming the file (shared by
+    the train/val CLIs)."""
+    if key not in cfg:
+        raise SystemExit(
+            f"config {path} has no top-level `{key} = dict(...)` — is it "
+            f"the right kind of config for this flag?")
+    return cfg.pop(key)
 
 
 def list_from_file(filename,

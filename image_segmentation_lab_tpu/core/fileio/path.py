@@ -56,22 +56,11 @@ def increment_path(work_dir: Union[str, Path],
 
 
 def scandir(dir_path, suffix=None, recursive: bool = False):
-    """Yield relative file paths under ``dir_path`` filtered by ``suffix``.
-
-    Equivalent of the reference backend directory scan
-    (core/fileio/backend.py:9-211 ``list_dir_or_file``).
-    """
-    if isinstance(suffix, str):
-        suffix = (suffix,)
-    root = dir_path
-
-    def _scan(d):
-        for entry in sorted(os.scandir(d), key=lambda e: e.name):
-            if entry.is_file():
-                rel = os.path.relpath(entry.path, root)
-                if suffix is None or rel.endswith(tuple(suffix)):
-                    yield rel
-            elif entry.is_dir() and recursive:
-                yield from _scan(entry.path)
-
-    yield from _scan(dir_path)
+    """Yield relative file paths under ``dir_path`` filtered by ``suffix``
+    (thin alias of ``HardDiskBackend.list_dir_or_file`` so the two scans
+    cannot drift)."""
+    from .backend import HardDiskBackend
+    if isinstance(suffix, (list,)):
+        suffix = tuple(suffix)
+    yield from HardDiskBackend().list_dir_or_file(
+        dir_path, list_dir=False, suffix=suffix, recursive=recursive)

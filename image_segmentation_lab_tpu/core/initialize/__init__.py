@@ -9,4 +9,5 @@ from .seed_init import (get_root_key, init_random_seed, next_rng_key,
 from .weight_init import (BaseInit, Caffe2XavierInit, ConstantInit,
                           KaimingInit, NormalInit, PretrainedInit,
                           TruncNormalInit, UniformInit, XavierInit,
-                          flatten_params, initialize, unflatten_params)
+                          flatten_params, initialize,
+                          initialize_from_network_cfg, unflatten_params)

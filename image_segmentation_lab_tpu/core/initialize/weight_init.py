@@ -234,6 +234,51 @@ class PretrainedInit:
                                          prefix=self.prefix)
 
 
+def initialize_from_network_cfg(params, network_cfg, rng):
+    """Apply a network config's ``pretrained``/``init_cfg`` hooks to params.
+
+    The reference applies these through the recursive ``init_weights``
+    cascade at module construction (base_module.py:47-68, encoder_decoder.py
+    :43-63); here they are applied once to the params pytree after
+    ``model.init``:
+
+    * model-level ``pretrained`` (path) → Pretrained over the whole tree;
+    * model-level ``init_cfg`` → ``initialize``;
+    * backbone-level ``init_cfg`` / ``pretrained`` → applied to the
+      ``backbone`` subtree (supports prefix-filtered checkpoints).
+
+    Remote checkpoint URLs (``torchvision://…``, ``open-mmlab://…``) are not
+    downloadable here; they raise with a pointer to the torch-checkpoint
+    converter instead of silently training from random init.
+    """
+    def _as_init(pretrained, init_cfg):
+        if pretrained:
+            p = str(pretrained)
+            if "://" in p:
+                raise FileNotFoundError(
+                    f"pretrained='{p}' is a remote locator; download the "
+                    f"torch checkpoint and convert it with "
+                    f"tools/convert_torch_checkpoint.py, then point "
+                    f"`pretrained` at the converted file")
+            return dict(type="Pretrained", checkpoint=p)
+        return init_cfg
+
+    model_init = _as_init(network_cfg.get("pretrained"),
+                          network_cfg.get("init_cfg"))
+    if model_init is not None:
+        rng, sub = jax.random.split(rng)
+        params = initialize(params, model_init, sub)
+
+    backbone_cfg = network_cfg.get("backbone") or {}
+    bb_init = _as_init(backbone_cfg.get("pretrained"),
+                       backbone_cfg.get("init_cfg"))
+    if bb_init is not None and "backbone" in params:
+        rng, sub = jax.random.split(rng)
+        params = dict(params)
+        params["backbone"] = initialize(params["backbone"], bb_init, sub)
+    return params
+
+
 def _subtree_paths(flat, name: str):
     return {p for p in flat if name in p}
 

@@ -46,7 +46,9 @@ def _apply_p(key, p, new_img, new_mask, img, mask):
     if p >= 1.0:
         return new_img, new_mask
     gate = jax.random.bernoulli(key, p)
-    return (jnp.where(gate, new_img, img), jnp.where(gate, new_mask, mask))
+    out_img = jnp.where(gate, new_img, img)
+    out_mask = None if mask is None else jnp.where(gate, new_mask, mask)
+    return out_img, out_mask
 
 
 class Transform:

@@ -34,7 +34,8 @@ TILE_P = 512  # pixels per grid step
 _OUT_ROWS = 8  # f32 min sublane tile; rows 0..2 carry inter/pred/label
 
 
-def _kernel(logits_ref, gt_ref, out_ref, *, ignore_index: int):
+def _kernel(logits_ref, gt_ref, out_ref, *, ignore_index: int,
+            num_classes: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -44,7 +45,9 @@ def _kernel(logits_ref, gt_ref, out_ref, *, ignore_index: int):
     x = logits_ref[:]                      # (TILE_P, Cp) f32
     gt = gt_ref[:, 0]                      # (TILE_P,) int32
     pred = jnp.argmax(x, axis=1).astype(jnp.int32)
-    valid = gt != ignore_index
+    # out-of-range labels (e.g. -1 from a classes-subset remap) are ignored
+    # entirely, matching the jnp path
+    valid = (gt != ignore_index) & (gt >= 0) & (gt < num_classes)
 
     classes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     pred_oh = (classes == pred[:, None]) & valid[:, None]
@@ -56,11 +59,13 @@ def _kernel(logits_ref, gt_ref, out_ref, *, ignore_index: int):
     out_ref[2, :] += jnp.sum(label_oh.astype(jnp.float32), axis=0)
 
 
-def _pallas_call(logits2d, gt2d, ignore_index: int, interpret: bool):
+def _pallas_call(logits2d, gt2d, ignore_index: int, num_classes: int,
+                 interpret: bool):
     P, Cp = logits2d.shape
     grid = P // TILE_P
     return pl.pallas_call(
-        functools.partial(_kernel, ignore_index=ignore_index),
+        functools.partial(_kernel, ignore_index=ignore_index,
+                          num_classes=num_classes),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((TILE_P, Cp), lambda i: (i, 0),
@@ -91,7 +96,9 @@ def confusion_histograms(logits: jnp.ndarray,
         force = "jnp"  # measured faster than the kernel — see module doc
 
     if force == "jnp":
-        valid = gt != ignore_index
+        # out-of-range labels (classes-subset remap writes -1) are excluded
+        # from every histogram, like explicitly ignored pixels
+        valid = (gt != ignore_index) & (gt >= 0) & (gt < num_classes)
         pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         classes = jnp.arange(num_classes)
 
@@ -102,8 +109,7 @@ def confusion_histograms(logits: jnp.ndarray,
 
         inter = hist(pred, valid & (pred == gt))
         pred_h = hist(pred, valid)
-        label_h = hist(jnp.clip(gt, 0, num_classes - 1),
-                       valid & (gt >= 0) & (gt < num_classes))
+        label_h = hist(jnp.clip(gt, 0, num_classes - 1), valid)
         return inter, pred_h, label_h
 
     logits2d = logits.astype(jnp.float32).reshape(-1, C)
@@ -120,7 +126,7 @@ def confusion_histograms(logits: jnp.ndarray,
         gt2d = jnp.pad(gt2d, ((0, Pp - P), (0, 0)),
                        constant_values=ignore_index)
 
-    out = _pallas_call(logits2d, gt2d, ignore_index,
+    out = _pallas_call(logits2d, gt2d, ignore_index, num_classes,
                        interpret=force == "interpret")
     inter, pred_h, label_h = out[0, :C], out[1, :C], out[2, :C]
     # labels outside [0, num_classes) beyond ignore are dropped by clipping

@@ -148,3 +148,26 @@ def test_warm_scheduler():
     assert lrs[0] < lrs[1] < lrs[2]          # ramping up
     assert abs(lrs[3] - 1.0) < 1e-6          # full lr after warmup
     assert abs(lrs[4] - 1.0) < 1e-6 and abs(lrs[5] - 0.1) < 1e-6
+
+
+def test_initialize_from_network_cfg(tmp_path, small_model):
+    from image_segmentation_lab_tpu.core.initialize import (
+        initialize_from_network_cfg, save_checkpoint)
+    model, variables = small_model
+    path = tmp_path / "pre.pth"
+    save_checkpoint(variables, path)
+    cfg = dict(backbone=dict(init_cfg=dict(type="Pretrained",
+                                           checkpoint=str(path),
+                                           prefix="backbone")))
+    zero = jax.tree_util.tree_map(jnp.zeros_like, variables["params"])
+    out = initialize_from_network_cfg(zero, cfg, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(
+        np.asarray(out["backbone"]["conv1"]["weight"]),
+        np.asarray(variables["params"]["backbone"]["conv1"]["weight"]))
+    # head stayed zero (only backbone subtree touched)
+    assert float(jnp.abs(jax.tree_util.tree_leaves(
+        out["decode_head"])[0]).sum()) == 0.0
+    with pytest.raises(FileNotFoundError, match="convert_torch_checkpoint"):
+        initialize_from_network_cfg(zero,
+                                    dict(pretrained="torchvision://r50"),
+                                    jax.random.PRNGKey(0))

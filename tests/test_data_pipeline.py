@@ -177,3 +177,23 @@ def test_single_decode_records_ori_size(tmp_path):
         img_dir=str(img_dir), ann_dir=str(ann_dir), seg_map_suffix=".jpg")
     _, _, infos = ds[0]
     assert infos["ori_img_size_each"] == (30, 40)
+
+
+def test_pipeline_no_mask_with_probabilistic_transforms():
+    """Regression: p<1 transforms must work when masks=None (inference path)."""
+    p = Pipeline.from_yaml("configs/augmentation/kvasir_train_transform.yaml")
+    imgs = np.random.RandomState(0).randint(
+        0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    out, mask = p(jax.random.PRNGKey(0), imgs)
+    assert out.shape == (1, 640, 640, 3) and mask is None
+
+
+def test_collate_mixed_shapes_raises():
+    ds = SyntheticDataset(
+        pipeline="configs/augmentation/synthetic_val_transform.yaml",
+        length=2, image_size=(32, 32))
+    items = [ds[0], ds[1]]
+    a, m, i = items[1]
+    items[1] = (a[:-8], m[:-8], i)
+    with pytest.raises(ValueError, match="mixed image sizes"):
+        ds.collate_fn(items)

@@ -34,3 +34,17 @@ def test_confusion_kernel_all_ignored(rng):
     out = confusion_histograms(logits, gt, 4, 255, force="interpret")
     for arr in out:
         assert float(np.asarray(arr).sum()) == 0.0
+
+
+def test_negative_labels_excluded_everywhere(rng):
+    """classes-subset remap writes -1; it must be ignored in all histograms."""
+    logits = jnp.asarray(rng.randn(1, 8, 8, 3).astype(np.float32))
+    gt = rng.randint(0, 3, (1, 8, 8))
+    gt[0, :2] = -1
+    gt = jnp.asarray(gt)
+    for force in ("jnp", "interpret"):
+        inter, pred_h, label_h = confusion_histograms(logits, gt, 3, 255,
+                                                      force=force)
+        valid = int(np.sum(np.asarray(gt) >= 0))
+        assert int(np.asarray(pred_h).sum()) == valid, force
+        assert int(np.asarray(label_h).sum()) == valid, force

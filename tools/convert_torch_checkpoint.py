@@ -58,9 +58,6 @@ RENAME_RULES = [
     # conv_cat etc. keep their names; module. prefix handled by loader
 ]
 
-# collections: running stats → batch_stats, everything else → params
-STAT_LEAVES = ("running_mean", "running_var")
-
 
 def convert_key(key: str) -> str:
     key = re.sub(r"^module\.", "", key)

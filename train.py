@@ -72,8 +72,8 @@ def main():
                                                  build_optimizer)
     from image_segmentation_lab_tpu.core.dataset import DataLoader
     from image_segmentation_lab_tpu.core.evaluation import SegEvaluator
-    from image_segmentation_lab_tpu.core.fileio import (increment_path,
-                                                        parse_and_backup_config)
+    from image_segmentation_lab_tpu.core.fileio import (
+        increment_path, parse_and_backup_config, require_config_key)
     from image_segmentation_lab_tpu.core.initialize import (
         init_random_seed, load_checkpoint, set_random_seed)
     from image_segmentation_lab_tpu.core.mixed_precision import amp_policy
@@ -96,16 +96,9 @@ def main():
     # Step 2: configs ------------------------------------------------------
     metadata = dict(time=datetime.now().strftime("%Y-%m-%d %H:%M:%S"))
     metadata.update(get_environment_info())
-    def _require(cfg, key, path):
-        if key not in cfg:
-            raise SystemExit(
-                f"config {path} has no top-level `{key} = dict(...)` — is it "
-                f"the right kind of config for this flag?")
-        return cfg.pop(key)
-
-    network_cfg = _require(parse_and_backup_config(
+    network_cfg = require_config_key(parse_and_backup_config(
         args.network_cfg, config_dir, metadata), "model", args.network_cfg)
-    dataset_cfg = _require(parse_and_backup_config(
+    dataset_cfg = require_config_key(parse_and_backup_config(
         args.dataset_cfg, config_dir, metadata), "dataset", args.dataset_cfg)
     schedule_cfg = parse_and_backup_config(args.schedule_cfg, config_dir,
                                            metadata)
@@ -165,16 +158,42 @@ def main():
 
     start_epoch = 0
     pretrained = network_cfg.get("pretrained")
-    if pretrained and Path(str(pretrained)).is_file():
+    if pretrained:
+        if "://" in str(pretrained) or not Path(str(pretrained)).is_file():
+            raise SystemExit(
+                f"pretrained='{pretrained}' is not a local checkpoint file. "
+                f"Remote locators can't be downloaded here — convert the "
+                f"torch checkpoint with tools/convert_torch_checkpoint.py "
+                f"and point `pretrained` at the result.")
         variables, _ = load_checkpoint(state.variables(), pretrained)
         state = state.replace(params=variables.get("params", state.params),
                               frozen_params=variables.get(
                                   "frozen_params", state.frozen_params),
                               batch_stats=variables.get(
                                   "batch_stats", state.batch_stats))
+    # config-driven init_cfg hooks (model- and backbone-level, incl.
+    # Pretrained subtree loads) — the reference applies these in its
+    # init_weights cascade; here they transform the params pytree once
+    from image_segmentation_lab_tpu.core.initialize import \
+        initialize_from_network_cfg
+    init_cfg_view = dict(network_cfg)
+    init_cfg_view.pop("pretrained", None)  # handled above as a full load
+    state = state.replace(params=initialize_from_network_cfg(
+        state.params, init_cfg_view, jax.random.fold_in(root_key, 7)))
     resume_path = args.resume_from
-    if args.auto_resume and resume_path is None and last_pth.exists():
-        resume_path = last_pth
+    prior_best_pth = None
+    if args.auto_resume and resume_path is None:
+        # each invocation allocates a fresh exp dir, so auto-resume looks
+        # for the newest prior run of the same name with a last.pth
+        base = Path(args.work_dir) / args.project
+        candidates = sorted(base.glob(f"{args.name}*"),
+                            key=lambda p: p.stat().st_mtime,
+                            reverse=True) if base.exists() else []
+        for cand in candidates:
+            if cand != save_dir and (cand / "weights" / "last.pth").is_file():
+                resume_path = cand / "weights" / "last.pth"
+                prior_best_pth = cand / "weights" / "best.pth"
+                break
     if args.load_from is not None:
         variables, _ = load_checkpoint(state.variables(), args.load_from)
         state = state.replace(params=variables["params"],
@@ -214,6 +233,15 @@ def main():
     uniform_val = val_dataset.ori_img_size  # tuple → on-device eval rescale
     eval_step = make_eval_step(model, rescale_size=uniform_val)
     best_fits = float("inf")
+    # resuming must not let a worse epoch clobber the prior run's best
+    seed_best = prior_best_pth if prior_best_pth is not None else (
+        Path(resume_path).parent / "best.pth" if resume_path else None)
+    if seed_best is not None and Path(seed_best).is_file():
+        import pickle
+        with open(seed_best, "rb") as f:
+            best_fits = float(pickle.load(f).get("metadata", {})
+                              .get("fits", float("inf")))
+        print(f"prior best fits={best_fits:.4f} (from {seed_best})")
 
     for epoch in range(start_epoch, epochs):
         profiling = args.profile_dir is not None and epoch == start_epoch

@@ -58,8 +58,8 @@ def main():
     from image_segmentation_lab_tpu.core import DATASET, build_from_cfg
     from image_segmentation_lab_tpu.core.dataset import DataLoader
     from image_segmentation_lab_tpu.core.evaluation import SegEvaluator
-    from image_segmentation_lab_tpu.core.fileio import (increment_path,
-                                                        parse_and_backup_config)
+    from image_segmentation_lab_tpu.core.fileio import (
+        increment_path, parse_and_backup_config, require_config_key)
     from image_segmentation_lab_tpu.core.initialize import load_checkpoint
     from image_segmentation_lab_tpu.core.mixed_precision import amp_policy
     from image_segmentation_lab_tpu.models.builder import build_segmentor
@@ -70,16 +70,9 @@ def main():
     save_dir = increment_path(args.work_dir, args.project, args.name)
     amp_policy(bool(args.amp))
 
-    def _require(cfg, key, path):
-        if key not in cfg:
-            raise SystemExit(
-                f"config {path} has no top-level `{key} = dict(...)` — is it "
-                f"the right kind of config for this flag?")
-        return cfg.pop(key)
-
-    network_cfg = _require(parse_and_backup_config(args.network_cfg),
+    network_cfg = require_config_key(parse_and_backup_config(args.network_cfg),
                            "model", args.network_cfg)
-    dataset_cfg = _require(parse_and_backup_config(args.dataset_cfg),
+    dataset_cfg = require_config_key(parse_and_backup_config(args.dataset_cfg),
                            "dataset", args.dataset_cfg)
     split_cfg = dict(dataset_cfg[args.split])
     # evaluation needs ground truth at original resolution
