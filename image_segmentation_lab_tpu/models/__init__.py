@@ -1,3 +1,3 @@
 from . import basic, common  # noqa: F401  (imports trigger registration)
-from . import backbones, decode_heads, losses, segmentors  # noqa: F401
+from . import backbones, decode_heads, losses, necks, segmentors  # noqa: F401
 from .builder import *  # noqa: F401,F403

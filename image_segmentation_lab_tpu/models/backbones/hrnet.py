@@ -73,7 +73,8 @@ class _BlockChain(nn.Module):
     block_kwargs: Optional[Dict[str, Any]] = None
 
     def setup(self):
-        block_cls = nn.remat(self.block) if self.with_cp else self.block
+        block_cls = (nn.remat(self.block, static_argnums=(2,))
+                     if self.with_cp else self.block)
         kw = dict(self.block_kwargs or {})
         blocks = []
         inplanes = self.in_channels
@@ -87,7 +88,7 @@ class _BlockChain(nn.Module):
 
     def __call__(self, x, train: bool = False):
         for b in self.blocks:
-            x = b(x, train=train)
+            x = b(x, train)  # positional: remat static_argnums
         return x
 
 

@@ -33,7 +33,10 @@ class ResLayer(nn.Module):
 
     def setup(self):
         norm_cfg = self.norm_cfg or dict(type="BN")
-        block_cls = nn.remat(self.block) if self.with_cp else self.block
+        # static_argnums=(2,): `train` (self=0, x=1) is a python bool that
+        # selects BN mode — it must stay static under remat
+        block_cls = (nn.remat(self.block, static_argnums=(2,))
+                     if self.with_cp else self.block)
         kwargs = dict(self.block_kwargs or {})
 
         if self.multi_grid is None:
@@ -63,5 +66,5 @@ class ResLayer(nn.Module):
 
     def __call__(self, x, train: bool = False):
         for block in self.blocks:
-            x = block(x, train=train)
+            x = block(x, train)  # positional: remat static_argnums
         return x

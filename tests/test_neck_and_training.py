@@ -1,0 +1,78 @@
+"""FPN neck, determinism, and remat-checkpointing coverage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from image_segmentation_lab_tpu.core.builder import build_optimizer
+from image_segmentation_lab_tpu.models.builder import build_segmentor
+from image_segmentation_lab_tpu.train_state import (create_train_state,
+                                                    make_train_step)
+
+
+def test_fpn_neck_in_encoder_decoder():
+    cfg = dict(
+        type="EncoderDecoder",
+        backbone=dict(type="ResNet", depth=18, num_stages=3,
+                      strides=(1, 2, 2), dilations=(1, 1, 1),
+                      out_indices=(0, 1, 2),
+                      norm_cfg=dict(type="BN", requires_grad=True)),
+        neck=dict(type="FPN", in_channels=[64, 128, 256], out_channels=32),
+        decode_head=dict(type="FCNHead", in_channels=32, in_index=0,
+                         channels=16, num_convs=1, concat_input=False,
+                         num_classes=2,
+                         norm_cfg=dict(type="BN", requires_grad=True),
+                         loss_decode=dict(type="CrossEntropyLoss")),
+        test_cfg=dict(mode="whole"))
+    model = build_segmentor(cfg)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           x, method="encode_decode")
+    assert "neck" in variables["params"]
+    out = model.apply(variables, x, method="encode_decode")
+    assert out.shape == (1, 64, 64, 2)
+
+
+def _two_step_params(with_cp=False, seed=0):
+    cfg = dict(
+        type="EncoderDecoder",
+        backbone=dict(type="ResNet", depth=18, num_stages=2,
+                      strides=(1, 2), dilations=(1, 1), out_indices=(0, 1),
+                      with_cp=with_cp,
+                      norm_cfg=dict(type="BN", requires_grad=True)),
+        decode_head=dict(type="FCNHead", in_channels=128, in_index=1,
+                         channels=16, num_convs=1, concat_input=False,
+                         num_classes=2, dropout_ratio=0.1,
+                         norm_cfg=dict(type="BN", requires_grad=True),
+                         loss_decode=dict(type="CrossEntropyLoss")))
+    model = build_segmentor(cfg)
+    tx = build_optimizer(dict(type="SGD", lr=0.05, momentum=0.9))
+    rng = jax.random.PRNGKey(seed)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 32, 32, 3), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(2).randint(0, 2, (2, 32, 32)))
+    state = create_train_state(model, rng, x, gt, tx)
+    step = make_train_step(model, tx, donate=False)
+    for i in range(2):
+        state, lv = step(state, x, gt, jax.random.fold_in(rng, i))
+    return state.params, float(lv["loss"])
+
+
+def test_training_is_deterministic():
+    p1, l1 = _two_step_params(seed=3)
+    p2, l2 = _two_step_params(seed=3)
+    assert l1 == l2
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_remat_matches_plain_gradients():
+    """with_cp (nn.remat) must not change the training math."""
+    p_plain, l_plain = _two_step_params(with_cp=False, seed=5)
+    p_cp, l_cp = _two_step_params(with_cp=True, seed=5)
+    np.testing.assert_allclose(l_plain, l_cp, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_plain),
+                    jax.tree_util.tree_leaves(p_cp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
