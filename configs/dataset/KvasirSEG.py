@@ -17,8 +17,11 @@ dataset = dict(train=dict(type='KvasirSegDataset',
                         ignore_index=-1,
                         return_ori_seg_gt=True,
                         seg_map_suffix='.jpg'),
+               # NOTE: the reference normalizes the test split with ImageNet
+               # stats while train/val use Kvasir stats (a distribution
+               # shift); this config uses the Kvasir val pipeline instead.
                test=dict(type='KvasirSegDataset',
                          data_root='/sharespace/datasets/Kvasir-SEG/',
                          img_dir='images',
                          ann_dir='masks',
-                         pipeline='configs/augmentation/defautlt_val_transform.yaml'))
+                         pipeline='configs/augmentation/kvasir_val_transform.yaml'))

@@ -36,6 +36,8 @@ model = dict(type='EncoderDecoder',
                                  num_classes=2,
                                  norm_cfg=norm_cfg,
                                  align_corners=False,
-                                 loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=True, loss_weight=1.0)),
+                                 # aux head weighted 0.4 as in the reference
+                                 # deeplabv3plus config (its :44)
+                                 loss_decode=dict(type='CrossEntropyLoss', use_sigmoid=True, loss_weight=0.4)),
              train_cfg=dict(),
              test_cfg=dict(mode='whole'))

@@ -36,6 +36,10 @@ from ..losses import accuracy
 DEFAULT_ACT = object()
 _DEFAULT_LOSS = object()
 
+# single source of truth for the binary-segmentation threshold default
+# (reference decode_head.py:119-121); train_state.head_threshold reads it too
+DEFAULT_BINARY_THRESHOLD = 0.3
+
 
 class BaseDecodeHead(nn.Module):
     in_channels: Union[int, Sequence[int]] = None
@@ -67,7 +71,8 @@ class BaseDecodeHead(nn.Module):
         return self.out_channels
 
     def resolved_threshold(self) -> float:
-        return 0.3 if self.threshold is None else self.threshold
+        return (DEFAULT_BINARY_THRESHOLD if self.threshold is None
+                else self.threshold)
 
     def _act_cfg(self):
         return {"type": "ReLU"} if self.act_cfg is DEFAULT_ACT else self.act_cfg

@@ -44,10 +44,14 @@ class Register:
 
         def decorator(obj: Any) -> Any:
             key = name if name is not None else obj.__name__
-            for k in (key, *aliases):
+            keys = (key, *aliases)
+            # validate every key before storing any: a duplicate must not
+            # leave the registry partially mutated
+            for k in keys:
                 if k in self._storage:
                     raise KeyError(
                         f"'{k}' is already registered in registry '{self._name}'")
+            for k in keys:
                 self._storage[k] = obj
             return obj
 

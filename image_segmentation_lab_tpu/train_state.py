@@ -117,13 +117,15 @@ def make_train_step(model, tx: optax.GradientTransformation,
 def head_threshold(model) -> float:
     """Binary-segmentation threshold from the (last) decode-head cfg."""
     from collections.abc import Mapping
+
+    from .models.decode_heads.decode_head import DEFAULT_BINARY_THRESHOLD
     dh = getattr(model, "decode_head", None)
     if isinstance(dh, (list, tuple)) and dh:
         dh = dh[-1]
     if isinstance(dh, Mapping):
         t = dh.get("threshold")
-        return 0.3 if t is None else float(t)
-    return 0.3
+        return DEFAULT_BINARY_THRESHOLD if t is None else float(t)
+    return DEFAULT_BINARY_THRESHOLD
 
 
 def binarize_channels(value, threshold: float, is_probs: bool = False):

@@ -42,7 +42,7 @@ def train_one_epoch(epoch: int,
     """
     dataloader.set_epoch(epoch)
     base_rng = base_rng if base_rng is not None else jax.random.PRNGKey(epoch)
-    running: Dict[str, float] = {}
+    running: Dict[str, Any] = {}
     count = 0
     bar = tqdm(dataloader, total=len(dataloader),
                desc=f"train epoch {epoch}", leave=False) if log \
@@ -58,12 +58,15 @@ def train_one_epoch(epoch: int,
         labels = labels.astype(jnp.int32)
         state, log_vars = train_step(state, images, labels, step_rng)
         count += 1
+        # accumulate on device: a float() here would block until the step
+        # finishes every iteration and kill the dispatch/host overlap
         for k, v in log_vars.items():
-            running[k] = running.get(k, 0.0) + float(v)
-        if log and hasattr(bar, "set_postfix"):
-            bar.set_postfix({k: f"{v / count:.4f}"
+            running[k] = running.get(k, 0.0) + v
+        if log and hasattr(bar, "set_postfix") and (
+                i % 10 == 0 or count == len(dataloader)):
+            bar.set_postfix({k: f"{float(v) / count:.4f}"
                              for k, v in list(running.items())[:3]})
-    mean_vars = {k: v / max(count, 1) for k, v in running.items()}
+    mean_vars = {k: float(v) / max(count, 1) for k, v in running.items()}
     return state, mean_vars
 
 

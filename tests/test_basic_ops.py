@@ -92,7 +92,6 @@ def test_activations_match_torch(rng):
     }
     for name, tfn in cases.items():
         act = mb.build_activation_layer(dict(type=name))
-        out = act.apply({}, x) if not act.is_initializing else None
         out = act.apply({}, x)
         np.testing.assert_allclose(np.asarray(out), tfn(tx).numpy(),
                                    rtol=1e-5, atol=1e-5, err_msg=name)

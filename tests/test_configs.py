@@ -1,6 +1,7 @@
 """Every shipped network config must build and run a forward pass."""
 
 import glob
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -9,7 +10,10 @@ import pytest
 from image_segmentation_lab_tpu.core.fileio import load_python_config
 from image_segmentation_lab_tpu.models.builder import build_segmentor
 
-NETWORK_CONFIGS = sorted(glob.glob("configs/network/**/*.py", recursive=True))
+REPO = Path(__file__).resolve().parents[1]
+NETWORK_CONFIGS = sorted(glob.glob(str(REPO / "configs/network/**/*.py"),
+                                   recursive=True))
+assert NETWORK_CONFIGS, "network config glob found nothing"
 
 
 @pytest.mark.parametrize("path", NETWORK_CONFIGS)
@@ -25,9 +29,12 @@ def test_network_config_builds_and_runs(path):
 
 
 def test_schedule_and_dataset_configs_parse():
-    for path in glob.glob("configs/schedule/*.py"):
+    schedules = glob.glob(str(REPO / "configs/schedule/*.py"))
+    datasets = glob.glob(str(REPO / "configs/dataset/*.py"))
+    assert schedules and datasets
+    for path in schedules:
         cfg = load_python_config(path)
         assert "optimizer" in cfg
-    for path in glob.glob("configs/dataset/*.py"):
+    for path in datasets:
         cfg = load_python_config(path)
         assert set(cfg["dataset"]) >= {"train", "val"}

@@ -230,7 +230,12 @@ def main():
         print(f"data-parallel over {n_devices} devices: {mesh}")
     else:
         train_step = make_train_step(model, tx)
-    uniform_val = val_dataset.ori_img_size  # tuple → on-device eval rescale
+    # rescale eval logits to the uniform original size ONLY when the dataset
+    # supplies original-resolution ground truth — otherwise metrics compare
+    # at pipeline resolution against pipeline labels
+    uniform_val = (val_dataset.ori_img_size
+                   if getattr(val_dataset, "return_ori_seg_gt", False)
+                   else None)
     eval_step = make_eval_step(model, rescale_size=uniform_val)
     best_fits = float("inf")
     # resuming must not let a worse epoch clobber the prior run's best

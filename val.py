@@ -97,7 +97,11 @@ def main():
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=None)
 
-    eval_step = make_eval_step(model, rescale_size=dataset.ori_img_size)
+    # (val.py forces return_ori_seg_gt above, so ori-size rescale is safe
+    # whenever the dataset declares a uniform original size)
+    uniform = (dataset.ori_img_size
+               if getattr(dataset, "return_ori_seg_gt", False) else None)
+    eval_step = make_eval_step(model, rescale_size=uniform)
     if args.tta:
         from image_segmentation_lab_tpu.utils.ops import resize
 
