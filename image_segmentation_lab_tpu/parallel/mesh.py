@@ -66,7 +66,7 @@ def replicate(tree, mesh: Mesh):
 
 
 def make_sharded_train_step(model, tx, mesh: Mesh, axis: str = "data",
-                            donate: bool = True):
+                            donate: bool = True, pipeline=None):
     """Data-parallel train step over ``mesh``.
 
     Exactly the shared ``train_state.build_train_step_fn`` body; the
@@ -75,7 +75,7 @@ def make_sharded_train_step(model, tx, mesh: Mesh, axis: str = "data",
     """
     from ..train_state import build_train_step_fn
 
-    train_step = build_train_step_fn(model, tx)
+    train_step = build_train_step_fn(model, tx, pipeline)
     rep = replicated(mesh)
     data = batch_sharding(mesh, axis)
     return jax.jit(

@@ -68,12 +68,27 @@ def create_train_state(model, rng, sample_img, sample_gt,
         opt_state=tx.init(params))
 
 
-def build_train_step_fn(model, tx: optax.GradientTransformation):
+def build_train_step_fn(model, tx: optax.GradientTransformation,
+                        pipeline=None):
     """The un-jitted train-step body, shared by the single-device
     (``make_train_step``) and mesh-sharded (``parallel.mesh``) builders so
-    the two can never drift."""
+    the two can never drift.
+
+    With ``pipeline`` given, the on-device augmentation fuses INTO the step:
+    one XLA program runs aug → forward → grads → update, and the host ships
+    raw **uint8** batches (4× less transfer than pre-cast float32).
+    """
 
     def train_step(state: TrainState, img, gt, dropout_rng):
+        if pipeline is not None:
+            aug_rng, dropout_rng = jax.random.split(dropout_rng)
+            keys = jax.random.split(aug_rng, img.shape[0])
+            img, gt = jax.vmap(
+                lambda k, i, m: pipeline._single(k, i, m))(keys, img,
+                                                           gt.astype(
+                                                               jnp.float32))
+            gt = gt.astype(jnp.int32)
+
         def loss_fn(params):
             variables = {"params": params,
                          "frozen_params": state.frozen_params,
@@ -102,15 +117,15 @@ def build_train_step_fn(model, tx: optax.GradientTransformation):
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
-                    donate: bool = True):
+                    donate: bool = True, pipeline=None):
     """Build the jitted train step.
 
-    batch = (img (N,H,W,C) float, gt (N,H,W) int).  Returns
-    (new_state, log_vars).  The whole step — including BN stat updates and
-    the optimizer — is one XLA program; buffers are donated so params update
-    in place in HBM.
+    batch = (img (N,H,W,C) float — or uint8 when ``pipeline`` is fused in,
+    gt (N,H,W) int).  Returns (new_state, log_vars).  The whole step —
+    augmentation, BN stat updates and the optimizer included — is one XLA
+    program; buffers are donated so params update in place in HBM.
     """
-    return jax.jit(build_train_step_fn(model, tx),
+    return jax.jit(build_train_step_fn(model, tx, pipeline),
                    donate_argnums=(0,) if donate else ())
 
 

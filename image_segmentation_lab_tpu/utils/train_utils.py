@@ -33,12 +33,17 @@ def train_one_epoch(epoch: int,
                     dataloader,
                     pipeline=None,
                     base_rng=None,
-                    log: bool = True) -> tuple:
+                    log: bool = True,
+                    fused_aug: bool = False) -> tuple:
     """Run one epoch; returns (state, mean log_vars dict).
 
-    ``pipeline`` is the device augmentation Pipeline (post-CPU-resize part);
-    when given, each numpy batch is augmented on device before the train
-    step (the two dispatches overlap — XLA queues them back to back).
+    Augmentation placement:
+
+    * ``fused_aug=True`` — the train step was built with the pipeline fused
+      in (``make_train_step(..., pipeline=...)``); raw uint8 batches go
+      straight to the step (one XLA program, 4× smaller host→device copies).
+    * else, with ``pipeline`` given, each batch is augmented by the
+      pipeline's own jitted program before the step.
     """
     dataloader.set_epoch(epoch)
     base_rng = base_rng if base_rng is not None else jax.random.PRNGKey(epoch)
@@ -50,12 +55,16 @@ def train_one_epoch(epoch: int,
     for i, (images, labels, infos) in enumerate(bar):
         rng = jax.random.fold_in(base_rng, i)
         aug_rng, step_rng = jax.random.split(rng)
-        if pipeline is not None:
+        if fused_aug:
+            images = jnp.asarray(images)  # raw uint8; aug runs in the step
+            labels = jnp.asarray(labels).astype(jnp.int32)
+            step_rng = rng  # the fused step splits its own aug rng
+        elif pipeline is not None:
             images, labels = pipeline(aug_rng, images, labels)
+            labels = labels.astype(jnp.int32)
         else:
             images = jnp.asarray(images, jnp.float32)
-            labels = jnp.asarray(labels)
-        labels = labels.astype(jnp.int32)
+            labels = jnp.asarray(labels).astype(jnp.int32)
         state, log_vars = train_step(state, images, labels, step_rng)
         count += 1
         # accumulate on device: a float() here would block until the step

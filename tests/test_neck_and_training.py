@@ -76,3 +76,51 @@ def test_remat_matches_plain_gradients():
                     jax.tree_util.tree_leaves(p_cp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fused_aug_train_step_matches_external_aug():
+    """Aug fused into the step == external pipeline + step (same rng plan)."""
+    from image_segmentation_lab_tpu.data.pipeline import Pipeline
+    pipe = Pipeline.from_dict({"transform": {
+        "__class_fullname__": "Compose", "p": 1.0, "transforms": [
+            {"__class_fullname__": "HorizontalFlip", "p": 0.5},
+            {"__class_fullname__": "Normalize", "p": 1.0,
+             "mean": [0.5, 0.5, 0.5], "std": [0.25, 0.25, 0.25]}]}})
+    cfg = dict(
+        type="EncoderDecoder",
+        backbone=dict(type="ResNet", depth=18, num_stages=2,
+                      strides=(1, 2), dilations=(1, 1), out_indices=(0, 1),
+                      norm_cfg=dict(type="BN", requires_grad=True)),
+        decode_head=dict(type="FCNHead", in_channels=128, in_index=1,
+                         channels=16, num_convs=1, concat_input=False,
+                         num_classes=2, dropout_ratio=0,
+                         norm_cfg=dict(type="BN", requires_grad=True),
+                         loss_decode=dict(type="CrossEntropyLoss")))
+    model = build_segmentor(cfg)
+    tx = build_optimizer(dict(type="SGD", lr=0.05))
+    rng = jax.random.PRNGKey(0)
+    img8 = np.random.RandomState(0).randint(0, 255, (4, 32, 32, 3)).astype(
+        np.uint8)
+    gt = np.random.RandomState(1).randint(0, 2, (4, 32, 32))
+    state0 = create_train_state(
+        model, rng, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32),
+                                                         jnp.int32), tx)
+
+    # fused path
+    fused = make_train_step(model, tx, donate=False, pipeline=pipe)
+    step_rng = jax.random.PRNGKey(42)
+    s1, lv1 = fused(state0, jnp.asarray(img8),
+                    jnp.asarray(gt, jnp.int32), step_rng)
+
+    # external path replicating the fused rng plan
+    aug_rng, dropout_rng = jax.random.split(step_rng)
+    aug_img, aug_gt = pipe(aug_rng, img8, gt)
+    plain = make_train_step(model, tx, donate=False)
+    s2, lv2 = plain(state0, aug_img, aug_gt.astype(jnp.int32), dropout_rng)
+
+    np.testing.assert_allclose(float(lv1["loss"]), float(lv2["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -224,12 +224,14 @@ def main():
     # ('data',) mesh — state replicated, batch split, gradient allreduce and
     # cross-replica BN statistics inserted by XLA (SURVEY.md §2.9)
     n_devices = jax.device_count()
+    aug_pipeline = train_dataset.device_pipeline  # fused into the step
     if n_devices > 1:
         from image_segmentation_lab_tpu.parallel import (
             get_mesh, make_sharded_train_step, replicate, shard_batch)
         mesh = get_mesh()
         state = replicate(state, mesh)
-        _step = make_sharded_train_step(model, tx, mesh)
+        _step = make_sharded_train_step(model, tx, mesh,
+                                        pipeline=aug_pipeline)
 
         def train_step(state, img, gt, rng):
             img, gt = shard_batch((img, gt), mesh)
@@ -237,7 +239,7 @@ def main():
 
         print(f"data-parallel over {n_devices} devices: {mesh}")
     else:
-        train_step = make_train_step(model, tx)
+        train_step = make_train_step(model, tx, pipeline=aug_pipeline)
     # rescale eval logits to the uniform original size ONLY when the dataset
     # supplies original-resolution ground truth — otherwise metrics compare
     # at pipeline resolution against pipeline labels
@@ -262,7 +264,7 @@ def main():
             jax.profiler.start_trace(str(args.profile_dir))
         state, train_vars = train_one_epoch(
             epoch, train_step, state, train_loader,
-            pipeline=train_dataset.device_pipeline,
+            fused_aug=True,
             base_rng=jax.random.fold_in(root_key, epoch))
         if profiling:
             jax.tree_util.tree_map(
