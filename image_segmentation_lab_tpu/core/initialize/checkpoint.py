@@ -87,6 +87,10 @@ def load_state_dict(variables, state_dict: Dict[str, np.ndarray],
 
 def _load_file(filename) -> Dict[str, Any]:
     filename = Path(filename)
+    if filename.is_dir():  # orbax checkpoint directory
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(filename.resolve())
     if not filename.is_file():
         raise FileNotFoundError(f"checkpoint file not found: {filename}")
     with open(filename, "rb") as f:
@@ -155,20 +159,35 @@ def apply_to(tree, predicate, transform):
 def save_checkpoint(variables,
                     filename,
                     metadata: Optional[Dict[str, Any]] = None,
-                    train_state: Optional[Dict[str, Any]] = None) -> None:
+                    train_state: Optional[Dict[str, Any]] = None,
+                    backend: str = "pickle") -> None:
     """Write ``{'metadata', 'state_dict'[, 'train_state']}`` to ``filename``.
 
     The reference's ``save_model`` (train_utils.py:160-165) shape, plus the
     optional ``train_state`` blob (opt state / step / schedule position) that
     makes ``--resume-from`` actually work.
+
+    ``backend='pickle'`` (default) writes one portable file;
+    ``backend='orbax'`` writes an orbax directory — the right choice for
+    multi-host / very large states (sharded, atomic, async-capable).
     """
-    Path(filename).parent.mkdir(parents=True, exist_ok=True)
     payload: Dict[str, Any] = {
         "metadata": metadata or {},
         "state_dict": state_dict_from_variables(variables),
     }
     if train_state is not None:
         payload["train_state"] = weights_to_cpu(train_state)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+        path = Path(filename).resolve()
+        if path.exists():
+            import shutil
+            shutil.rmtree(path)
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, payload)
+        return
+    assert backend == "pickle", f"unknown checkpoint backend {backend}"
+    Path(filename).parent.mkdir(parents=True, exist_ok=True)
     tmp = str(filename) + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=4)

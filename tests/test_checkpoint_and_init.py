@@ -171,3 +171,17 @@ def test_initialize_from_network_cfg(tmp_path, small_model):
         initialize_from_network_cfg(zero,
                                     dict(pretrained="torchvision://r50"),
                                     jax.random.PRNGKey(0))
+
+
+def test_orbax_backend_roundtrip(tmp_path, small_model):
+    model, variables = small_model
+    path = tmp_path / "orbax_ckpt"
+    save_checkpoint(variables, path, metadata={"epoch": 7},
+                    backend="orbax")
+    assert path.is_dir()
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, variables)
+    restored, ckpt = load_checkpoint(zeroed, path, logger=None)
+    assert int(ckpt["metadata"]["epoch"]) == 7
+    for a, b in zip(jax.tree_util.tree_leaves(restored),
+                    jax.tree_util.tree_leaves(variables)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
