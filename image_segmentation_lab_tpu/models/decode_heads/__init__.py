@@ -1,5 +1,6 @@
 from .aspp_head import ASPPHead, ASPPModule
 from .decode_head import BaseDecodeHead
 from .fcn_head import FCNHead
+from .lraspp_head import LRASPPHead
 from .psp_head import PPM, PSPHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
