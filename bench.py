@@ -130,15 +130,9 @@ def main():
     import jax
     if args.quick:
         jax.config.update("jax_platforms", "cpu")
-    # persistent XLA compilation cache: repeat bench runs skip the ~minutes
-    # of compile time for the big slide/train programs
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jax_comp_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass  # older jax without the persistent cache options
+    from image_segmentation_lab_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
 
     from image_segmentation_lab_tpu.core.mixed_precision import set_policy
 

@@ -1,5 +1,7 @@
-# LR-ASPP over MobileNetV3-large (arXiv:1905.02244): low-level os8 feature
-# (layer4, 40ch) + final os16 feature (layer16, 960ch).
+# LR-ASPP over MobileNetV3-large (arXiv:1905.02244): low-level feature
+# (layer4, 40ch, os8) + final feature (layer16, 960ch — nominally os16, but
+# this d8 backbone dilates the layer-7/13 strides away so it is os8 too and
+# the head's upsample is an identity here).
 norm_cfg = dict(type='SyncBatchNorm', requires_grad=True)
 model = dict(type='EncoderDecoder',
              backbone=dict(type='MobileNetV3', arch='large',

@@ -87,10 +87,17 @@ def load_state_dict(variables, state_dict: Dict[str, np.ndarray],
 
 def _load_file(filename) -> Dict[str, Any]:
     filename = Path(filename)
-    if filename.is_dir():  # orbax checkpoint directory
+    if filename.is_dir():  # orbax checkpoint directory (see save_checkpoint)
         import orbax.checkpoint as ocp
         with ocp.StandardCheckpointer() as ckptr:
-            return ckptr.restore(filename.resolve())
+            payload = dict(ckptr.restore(filename.resolve()))
+        for name in ("metadata", "train_state"):
+            sidecar = filename / f"{name}.pkl"
+            if sidecar.is_file():
+                with open(sidecar, "rb") as f:
+                    payload[name] = pickle.load(f)
+        payload.setdefault("metadata", {})
+        return payload
     if not filename.is_file():
         raise FileNotFoundError(f"checkpoint file not found: {filename}")
     with open(filename, "rb") as f:
@@ -178,13 +185,35 @@ def save_checkpoint(variables,
     if train_state is not None:
         payload["train_state"] = weights_to_cpu(train_state)
     if backend == "orbax":
+        import shutil
+
         import orbax.checkpoint as ocp
         path = Path(filename).resolve()
-        if path.exists():
-            import shutil
-            shutil.rmtree(path)
+        tmp = path.with_name(path.name + ".tmp_orbax")
+        old = path.with_name(path.name + ".old_orbax")
+        for p in (tmp, old):
+            if p.is_dir():
+                shutil.rmtree(p)
+            elif p.exists():
+                p.unlink()
+        # arrays go through orbax (sharded/typed); metadata and the optax
+        # train_state keep their python structure in sidecar pickles —
+        # StandardCheckpointer can't hold strings or NamedTuple treedefs
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(path, payload)
+            ckptr.save(tmp, {"state_dict": payload["state_dict"]})
+        with open(tmp / "metadata.pkl", "wb") as f:
+            pickle.dump(payload["metadata"], f, protocol=4)
+        if "train_state" in payload:
+            with open(tmp / "train_state.pkl", "wb") as f:
+                pickle.dump(payload["train_state"], f, protocol=4)
+        # near-atomic swap (a bare rmtree-then-save could lose both copies)
+        if path.is_dir():
+            path.rename(old)
+        elif path.exists():
+            path.unlink()
+        tmp.rename(path)
+        if old.exists():
+            shutil.rmtree(old)
         return
     assert backend == "pickle", f"unknown checkpoint backend {backend}"
     Path(filename).parent.mkdir(parents=True, exist_ok=True)

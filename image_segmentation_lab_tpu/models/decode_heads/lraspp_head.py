@@ -1,8 +1,9 @@
 """LR-ASPP head (Lite Reduced ASPP, MobileNetV3 paper arXiv:1905.02244 §5.2).
 
 Not present in the reference lab; added so the MobileNetV3 backbone has its
-canonical segmentation decoder.  Two-branch design over a low-level (os8)
-and a high-level (os16) feature:
+canonical segmentation decoder.  Two-branch design over a low-level and a
+high-level feature (os8/os16 in the paper; with a dilated d8 backbone both
+arrive at os8 and the upsample is an identity):
 
 * high branch: 1x1 conv+BN+ReLU → gated by a squeeze path
   (global average pool → 1x1 conv → sigmoid), upsampled to the low level;

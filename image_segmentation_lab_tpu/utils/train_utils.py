@@ -54,15 +54,16 @@ def train_one_epoch(epoch: int,
         else dataloader
     for i, (images, labels, infos) in enumerate(bar):
         rng = jax.random.fold_in(base_rng, i)
-        aug_rng, step_rng = jax.random.split(rng)
         if fused_aug:
             images = jnp.asarray(images)  # raw uint8; aug runs in the step
             labels = jnp.asarray(labels).astype(jnp.int32)
-            step_rng = rng  # the fused step splits its own aug rng
+            step_rng = rng  # the fused step derives its own aug rng split
         elif pipeline is not None:
+            aug_rng, step_rng = jax.random.split(rng)
             images, labels = pipeline(aug_rng, images, labels)
             labels = labels.astype(jnp.int32)
         else:
+            _, step_rng = jax.random.split(rng)
             images = jnp.asarray(images, jnp.float32)
             labels = jnp.asarray(labels).astype(jnp.int32)
         state, log_vars = train_step(state, images, labels, step_rng)

@@ -51,14 +51,9 @@ def main():
     import jax
     if str(args.device).lower() == "cpu":
         jax.config.update("jax_platforms", "cpu")
-    # persistent XLA compilation cache (repeat runs skip big compiles)
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jax_comp_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    from image_segmentation_lab_tpu.utils.compile_cache import \
+        enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
