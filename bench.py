@@ -71,7 +71,9 @@ def measure(model, variables, batch: int, iters: int, warmup: int = 2):
         float(fn(variables, x))
         times.append(time.perf_counter() - t0)
     times = np.asarray(times)
-    throughput = batch / times.mean()
+    # median: each timed call includes a tunnel round-trip whose latency
+    # swings by tens of ms between runs; the median is robust to those spikes
+    throughput = batch / float(np.median(times))
     # p50 per-image latency measured at batch=1
     x1 = imgs[0][:1]
     float(fn(variables, x1))
