@@ -197,3 +197,24 @@ def test_collate_mixed_shapes_raises():
     items[1] = (a[:-8], m[:-8], i)
     with pytest.raises(ValueError, match="mixed image sizes"):
         ds.collate_fn(items)
+
+
+def test_standard_datasets_registered(tmp_path):
+    import cv2
+    from image_segmentation_lab_tpu.core.builder import DATASET, build_from_cfg
+    img_dir, ann_dir = tmp_path / "img", tmp_path / "ann"
+    img_dir.mkdir(); ann_dir.mkdir()
+    cv2.imwrite(str(img_dir / "a.jpg"), np.zeros((16, 16, 3), np.uint8))
+    # ADE: raw id 0 is 'ignore', id k>0 means class k-1
+    ann = np.full((16, 16), 3, np.uint8)
+    ann[:4] = 0
+    cv2.imwrite(str(ann_dir / "a.png"), ann)
+    ds = build_from_cfg(dict(
+        type="ADE20KDataset", img_dir=str(img_dir), ann_dir=str(ann_dir),
+        pipeline="configs/augmentation/synthetic_val_transform.yaml"),
+        DATASET)
+    assert ds.num_classes == 150 and ds.reduce_zero_label
+    _, mask, _ = ds[0]
+    vals = set(np.unique(mask).astype(int))
+    assert vals == {2, 255}  # 3 → 2, 0 → 255(ignore)
+    assert "PascalVOCDataset" in DATASET
