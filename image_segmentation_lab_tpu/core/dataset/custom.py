@@ -203,7 +203,18 @@ class CustomDataset:
 
     # ---------------------------------------------------------- items
     def _load_mask(self, path) -> np.ndarray:
+        # palette-indexed PNGs (VOC/ADE style) must load as class INDICES;
+        # cv2's grayscale read palette-expands them to luminance, silently
+        # corrupting every label — detect 'P' mode via PIL (lazy header read)
+        from PIL import Image
+        with Image.open(path) as im:
+            if im.mode == "P":
+                return self._postprocess_mask(
+                    np.asarray(im).astype(np.int64))
         mask = imread(path, flag="grayscale").astype(np.int64)
+        return self._postprocess_mask(mask)
+
+    def _postprocess_mask(self, mask: np.ndarray) -> np.ndarray:
         if self.reduce_zero_label:
             # 0 → ignore(255), shift all other ids down (mmseg semantics)
             mask[mask == 0] = 255

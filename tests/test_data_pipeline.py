@@ -218,3 +218,28 @@ def test_standard_datasets_registered(tmp_path):
     vals = set(np.unique(mask).astype(int))
     assert vals == {2, 255}  # 3 → 2, 0 → 255(ignore)
     assert "PascalVOCDataset" in DATASET
+
+
+def test_palette_png_masks_load_as_indices(tmp_path):
+    """VOC-style P-mode PNGs must yield class indices, not luminance."""
+    from PIL import Image
+    import cv2
+    from image_segmentation_lab_tpu.core.dataset import PascalVOCDataset
+    img_dir, ann_dir = tmp_path / "img", tmp_path / "ann"
+    img_dir.mkdir(); ann_dir.mkdir()
+    cv2.imwrite(str(img_dir / "a.jpg"), np.zeros((8, 8, 3), np.uint8))
+    idx = np.zeros((8, 8), np.uint8)
+    idx[:4] = 15  # 'person'
+    idx[:, :2] = 255  # VOC ignore border
+    pal_img = Image.fromarray(idx, mode="P")
+    palette = np.zeros((256, 3), np.uint8)
+    palette[15] = [192, 128, 128]
+    palette[255] = [224, 224, 192]
+    pal_img.putpalette(palette.flatten().tolist())
+    pal_img.save(ann_dir / "a.png")
+
+    ds = PascalVOCDataset(
+        img_dir=str(img_dir), ann_dir=str(ann_dir),
+        pipeline="configs/augmentation/synthetic_val_transform.yaml")
+    _, mask, _ = ds[0]
+    assert set(np.unique(mask).astype(int)) == {0, 15, 255}

@@ -193,7 +193,11 @@ class TorchASPPTwin(nn.Module):
         super().__init__()
         self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
+        # 3 blocks: must match ResNet depth=50 stage-1 (3 Bottlenecks) so
+        # every block's weights are copied — with only 2, the uncopied third
+        # would be a zero-init-residual identity and silently under-test
         self.layer1 = nn.Sequential(TorchBottleneck(64, 32, 1, 2),
+                                    TorchBottleneck(128, 32, 1, 2),
                                     TorchBottleneck(128, 32, 1, 2))
         self.branches = nn.ModuleList()
         for d in dilations:

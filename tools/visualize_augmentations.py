@@ -42,11 +42,24 @@ def main():
     from image_segmentation_lab_tpu.data.transforms import Normalize
 
     pipe = Pipeline.from_yaml(args.pipeline)
-    # find the Normalize stats for display denormalization
-    mean, std = np.zeros(3), np.full(3, 1 / 255.0)
-    for t in getattr(pipe.root, "transforms", []):
+
+    # find the Normalize stats (recursively — it may sit in a nested
+    # Compose/OneOf) for display denormalization
+    def find_normalize(t):
         if isinstance(t, Normalize):
-            mean, std = t.mean, t.std
+            return t
+        for child in getattr(t, "transforms", []):
+            found = find_normalize(child)
+            if found is not None:
+                return found
+        return None
+
+    norm = find_normalize(pipe.root)
+    if norm is not None:
+        mean = norm.mean * norm.max_pixel_value
+        std = norm.std * norm.max_pixel_value
+    else:
+        mean, std = np.zeros(3), np.ones(3)
 
     img = imread(args.img, channel_order="rgb")
     imgs = np.stack([img] * args.n)
@@ -58,7 +71,7 @@ def main():
     out, om = pipe(jax.random.PRNGKey(args.seed), imgs, masks)
     out = np.asarray(out)
     # denormalize back to displayable pixels
-    out = np.clip((out * std + mean) * 255.0, 0, 255).astype(np.uint8)
+    out = np.clip(out * std + mean, 0, 255).astype(np.uint8)
     if om is not None:
         # tint augmented mask in red at 35%
         m = np.asarray(om)[..., None] > 0
