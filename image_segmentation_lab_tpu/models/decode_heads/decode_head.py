@@ -183,7 +183,17 @@ class BaseDecodeHead(nn.Module):
             else:
                 loss[loss_decode.loss_name] += value
 
-        loss["acc_seg"] = accuracy(seg_logit, seg_label,
+        acc_logit = seg_logit
+        if seg_logit.shape[-1] == 1:
+            # binary head: argmax over one channel would always report the
+            # background fraction (latent reference defect); pair the logit
+            # with the threshold so accuracy reflects sigmoid(x) > threshold
+            import math
+            t = self.resolved_threshold()
+            thr_logit = math.log(t / max(1.0 - t, 1e-8))
+            acc_logit = jnp.concatenate(
+                [jnp.full_like(seg_logit, thr_logit), seg_logit], axis=-1)
+        loss["acc_seg"] = accuracy(acc_logit, seg_label,
                                    ignore_index=self.ignore_index)
 
         ori_img_size = (meta_infos or {}).get("ori_img_size_hw", None)
