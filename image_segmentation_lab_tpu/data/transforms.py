@@ -194,7 +194,10 @@ class Rotate(Transform):
         lo, hi = min(self.limit), max(self.limit)
         angle = _uniform(key, lo, hi) * math.pi / 180.0
         c, s = jnp.cos(angle), jnp.sin(angle)
-        inv = jnp.array([[c, -s], [s, c]])  # inverse rotation
+        # cv2/albumentations: positive angle = counter-clockwise in image
+        # coords (y down); sampling at R(+angle) of the output grid realizes
+        # the CCW forward map (verified against cv2.getRotationMatrix2D)
+        inv = jnp.array([[c, s], [-s, c]])
         center = ((img.shape[0] - 1) / 2.0, (img.shape[1] - 1) / 2.0)
         img = _affine_sample(img, inv, center, self.fill)
         if mask is not None:

@@ -171,6 +171,33 @@ def binarize_channels(value, threshold: float, is_probs: bool = False):
     return fix(value)
 
 
+def make_tta_step(model, scales=(0.75, 1.0, 1.25)):
+    """Jitted multi-scale + horizontal-flip TTA: averaged probabilities at
+    the input resolution (the compiled analog of reference
+    ``aug_test_logits``, encoder_decoder.py:337-353, with flip-back)."""
+    from .utils.ops import resize
+
+    @jax.jit
+    def tta_step(variables, img):
+        H, W = img.shape[1:3]
+        acc = 0.0
+        n = 0
+        for s in scales:
+            scaled = resize(img, size=(int(H * s), int(W * s)),
+                            mode="bilinear", align_corners=False)
+            for flip in (False, True):
+                x = scaled[:, :, ::-1, :] if flip else scaled
+                probs = model.apply(variables, x, method="inference")
+                if flip:
+                    probs = probs[:, :, ::-1, :]
+                acc = acc + resize(probs, size=(H, W), mode="bilinear",
+                                   align_corners=False)
+                n += 1
+        return acc / n
+
+    return tta_step
+
+
 def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None):
     """Jitted validation step: losses + per-head evaluator-ready scores.
 

@@ -17,8 +17,7 @@ from image_segmentation_lab_tpu.models.basic import (BatchNorm2d, Conv2d,
                                                      GroupNorm, LayerNorm)
 
 
-def to_nchw(x):
-    return np.transpose(x, (0, 3, 1, 2))
+from helpers import to_nchw  # noqa: E402
 
 
 @pytest.mark.parametrize("stride,padding,dilation,groups", [

@@ -43,9 +43,8 @@ def test_checkpoint_roundtrip(tmp_path, small_model):
     zeroed = jax.tree_util.tree_map(jnp.zeros_like, variables)
     restored, ckpt = load_checkpoint(zeroed, path, logger=None)
     assert ckpt["metadata"]["epoch"] == 3
-    for a, b in zip(jax.tree_util.tree_leaves(restored),
-                    jax.tree_util.tree_leaves(variables)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    from helpers import assert_trees_equal
+    assert_trees_equal(restored, variables)
 
 
 def test_checkpoint_prefix_load(tmp_path, small_model):
@@ -182,6 +181,5 @@ def test_orbax_backend_roundtrip(tmp_path, small_model):
     zeroed = jax.tree_util.tree_map(jnp.zeros_like, variables)
     restored, ckpt = load_checkpoint(zeroed, path, logger=None)
     assert int(ckpt["metadata"]["epoch"]) == 7
-    for a, b in zip(jax.tree_util.tree_leaves(restored),
-                    jax.tree_util.tree_leaves(variables)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    from helpers import assert_trees_equal
+    assert_trees_equal(restored, variables)

@@ -14,9 +14,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
 
 from convert_torch_checkpoint import convert_state_dict  # noqa: E402
 
+from test_torch_parity_e2e import TorchTwin, jax_cfg
+
 from image_segmentation_lab_tpu.core.initialize import load_checkpoint
 from image_segmentation_lab_tpu.models.builder import build_segmentor
-from tests.test_torch_parity_e2e import TorchTwin, jax_cfg
 
 
 def reference_style_state_dict(tm: TorchTwin) -> dict:

@@ -51,21 +51,20 @@ def test_flip_determinism_and_distribution():
             mout, masks[i][:, ::-1] if flipped else masks[i])
 
 
-def test_rotate_90_exact():
+def test_rotate_90_direction_and_mask_alignment():
+    """+90 must rotate counter-clockwise (cv2/albumentations convention),
+    and the mask must rotate WITH the image."""
     spec = [{"__class_fullname__": "Rotate", "p": 1.0, "limit": [90, 90]}]
     p = make_pipeline(spec)
     img = np.zeros((1, 5, 5, 1), np.float32)
-    img[0, 0, :, 0] = 10  # top row
+    img[0, 0, :, 0] = [1, 2, 3, 4, 5]  # top row, asymmetric
     mask = np.zeros((1, 5, 5), np.float32)
     mask[0, 0, :] = 1
     out, m = p(jax.random.PRNGKey(0), img, mask)
-    out = np.asarray(out[0, ..., 0])
-    # after +90° the top row should become a column
-    col_sums = out.sum(axis=0)
-    row_sums = out.sum(axis=1)
-    assert (col_sums.max() > 40) or (row_sums.max() > 40)
-    assert not np.array_equal(out, img[0, ..., 0])
-    assert set(np.unique(np.asarray(m))) <= {0.0, 1.0}  # mask stays binary
+    np.testing.assert_allclose(np.asarray(out[0, ..., 0]),
+                               np.rot90(img[0, ..., 0], 1), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(m[0]),
+                                  np.rot90(mask[0], 1))
 
 
 def test_normalize_values():

@@ -69,17 +69,23 @@ def test_per_image_sizes_host_path(rng):
 
 
 def test_fscore_beta_and_nan_to_num():
-    pred = np.zeros((1, 4, 4), np.int64)  # all class 0
+    # imperfect prediction so precision != recall and beta actually matters:
+    # gt: 8px class0 + 8px class1; pred: 12px class0 + 4px class1 (all-correct
+    # class1 pixels) → class1 precision=1, recall=0.5
     gt = np.zeros((1, 4, 4), np.int64)
+    gt[0, 2:] = 1
     logits = np.zeros((1, 4, 4, 3), np.float32)
     logits[..., 0] = 5
+    logits[0, 3, :, 1] = 10  # predict class1 only on the last row
     ev = make_eval(nan_to_num=0, beta=2)
     ev.process(0, {"decode": logits}, {"ori_gt": gt})
     m = ev.compute_metrics()["decode"]
-    # class 1,2 never appear: IoU nan → 0 after nan_to_num
-    assert m["IoU"][1] == 0 and m["IoU"][2] == 0
-    assert m["IoU"][0] == 100.0
-    assert m["Fscore"][0] == 100.0
+    assert m["IoU"][2] == 0  # absent class nan → 0 after nan_to_num
+    p, r = 1.0, 0.5
+    f2 = (1 + 4) * p * r / (4 * p + r) * 100
+    f1 = 2 * p * r / (p + r) * 100
+    np.testing.assert_allclose(m["Fscore"][1], round(f2, 2))
+    assert abs(m["Fscore"][1] - f1) > 5  # beta=2 differs from F1
 
 
 def test_mixed_heads_and_sum_consistency(rng):

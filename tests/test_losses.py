@@ -112,19 +112,13 @@ def test_tversky_formula(rng):
 
 
 def test_lovasz_softmax_known_case():
-    """Perfect prediction → zero loss; worst prediction → 1 per present class."""
-    pred = jnp.asarray(np.array([[[[9.0, -9.0], [-9.0, 9.0]]]]))  # (1,1,2,2)→
-    pred = pred.reshape(1, 2, 2, 1)
-    pred = jnp.concatenate([pred, -pred], axis=-1)  # class0 logits, class1
-    label = jnp.asarray(np.array([[[0, 1], [1, 0]]]))
-    # softmax(9,-9)≈(1,0) → predicted class 0 where label alternates
+    """Perfect prediction → ~0 loss; inverted prediction → ~1 per class."""
     loss_fn = LovaszLoss(per_image=False, reduction="none")
-    label_perfect = jnp.asarray(np.array([[[0, 0], [0, 0]]]))
-    # exact match on class 0 everywhere
-    val = float(loss_fn(pred * 0 + jnp.asarray([9.0, -9.0]), label_perfect))
-    assert val < 1e-3
-    val_bad = float(loss_fn(pred * 0 + jnp.asarray([-9.0, 9.0]), label_perfect))
-    assert val_bad > 0.9
+    label = jnp.zeros((1, 2, 2), jnp.int32)  # all class 0
+    confident_c0 = jnp.broadcast_to(jnp.asarray([9.0, -9.0]), (1, 2, 2, 2))
+    confident_c1 = jnp.broadcast_to(jnp.asarray([-9.0, 9.0]), (1, 2, 2, 2))
+    assert float(loss_fn(confident_c0, label)) < 1e-3
+    assert float(loss_fn(confident_c1, label)) > 0.9
 
 
 def test_lovasz_ignore_matches_explicit_filtering(rng):

@@ -62,9 +62,8 @@ def test_training_is_deterministic():
     p1, l1 = _two_step_params(seed=3)
     p2, l2 = _two_step_params(seed=3)
     assert l1 == l2
-    for a, b in zip(jax.tree_util.tree_leaves(p1),
-                    jax.tree_util.tree_leaves(p2)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    from helpers import assert_trees_equal
+    assert_trees_equal(p1, p2)
 
 
 def test_remat_matches_plain_gradients():
@@ -72,10 +71,8 @@ def test_remat_matches_plain_gradients():
     p_plain, l_plain = _two_step_params(with_cp=False, seed=5)
     p_cp, l_cp = _two_step_params(with_cp=True, seed=5)
     np.testing.assert_allclose(l_plain, l_cp, rtol=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(p_plain),
-                    jax.tree_util.tree_leaves(p_cp)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
+    from helpers import assert_trees_equal
+    assert_trees_equal(p_plain, p_cp, rtol=1e-5, atol=1e-6)
 
 
 def test_fused_aug_train_step_matches_external_aug():
@@ -120,7 +117,5 @@ def test_fused_aug_train_step_matches_external_aug():
 
     np.testing.assert_allclose(float(lv1["loss"]), float(lv2["loss"]),
                                rtol=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
-                    jax.tree_util.tree_leaves(s2.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
+    from helpers import assert_trees_equal
+    assert_trees_equal(s1.params, s2.params, rtol=1e-5, atol=1e-6)

@@ -54,10 +54,8 @@ def test_sharded_train_step_matches_single_device():
         state8, lv8 = step8(state8, xs, gts, k)
         np.testing.assert_allclose(float(lv1["loss"]), float(lv8["loss"]),
                                    rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
-                    jax.tree_util.tree_leaves(state8.params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-5)
+    from helpers import assert_trees_equal
+    assert_trees_equal(state1.params, state8.params, rtol=1e-4, atol=1e-5)
 
 
 def test_multichip_slide_inference_matches_single():

@@ -10,8 +10,7 @@ from image_segmentation_lab_tpu.ops.pooling import (adaptive_avg_pool2d,
                                                     avg_pool2d, max_pool2d)
 
 
-def to_nchw(x):
-    return np.transpose(x, (0, 3, 1, 2))
+from helpers import to_nchw  # noqa: E402
 
 
 @pytest.mark.parametrize("hw,k,s,p,ceil", [
@@ -54,23 +53,6 @@ def test_adaptive_avg_pool_matches_torch(rng, hw, out_size):
     ref = TF.adaptive_avg_pool2d(torch.tensor(to_nchw(x)), out_size)
     np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
                                ref.numpy(), rtol=1e-5, atol=1e-6)
-
-
-def test_rotate_90_matches_rot90(rng):
-    """A +90° limit rotation must equal np.rot90 up to border pixels."""
-    import jax
-    from image_segmentation_lab_tpu.data.transforms import Rotate
-    img = rng.randn(9, 9, 1).astype(np.float32)
-    mask = (rng.rand(9, 9) > 0.5).astype(np.float32)
-    t = Rotate(limit=[90, 90], p=1.0)
-    out, om = t.apply(jax.random.PRNGKey(0), jnp.asarray(img),
-                      jnp.asarray(mask))
-    # cv2/albumentations rotate by +90 = counter-clockwise in image coords
-    exp = np.rot90(img, k=1, axes=(0, 1))
-    exp_alt = np.rot90(img, k=-1, axes=(0, 1))
-    err = np.abs(np.asarray(out) - exp)[1:-1, 1:-1].mean()
-    err_alt = np.abs(np.asarray(out) - exp_alt)[1:-1, 1:-1].mean()
-    assert min(err, err_alt) < 1e-4, (err, err_alt)
 
 
 def test_avg_pool_count_include_pad_regression(rng):

@@ -170,3 +170,31 @@ def test_binary_eval_step_honors_threshold():
     raw = out[..., 1]
     expect = (1 / (1 + np.exp(-raw))) > 0.3
     np.testing.assert_array_equal(out.argmax(-1).astype(bool), expect)
+
+
+def test_make_tta_step_flip_back_and_scales(built):
+    """The production TTA path (val.py --tta): flip-back + multi-scale
+    averaging must equal the manually composed expectation."""
+    from image_segmentation_lab_tpu.train_state import make_tta_step
+    from image_segmentation_lab_tpu.utils.ops import resize
+    model, variables = built
+    x = jnp.asarray(np.random.RandomState(9).randn(1, 32, 32, 3), jnp.float32)
+    scales = (1.0, 0.5)
+    out = make_tta_step(model, scales)(variables, x)
+
+    acc = 0.0
+    for s in scales:
+        scaled = resize(x, size=(int(32 * s), int(32 * s)), mode="bilinear",
+                        align_corners=False)
+        p = model.apply(variables, scaled, method="inference")
+        pf = model.apply(variables, scaled[:, :, ::-1, :], method="inference")
+        acc = acc + resize(p, size=(32, 32), mode="bilinear",
+                           align_corners=False)
+        acc = acc + resize(pf[:, :, ::-1, :], size=(32, 32), mode="bilinear",
+                           align_corners=False)
+    expected = acc / 4
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=1e-5, atol=1e-6)
+    # regression guard: dropping the un-flip would change the result
+    assert float(jnp.abs(out - model.apply(
+        variables, x, method="inference")).max()) > 1e-4

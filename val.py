@@ -107,30 +107,10 @@ def main():
     eval_step = make_eval_step(model, rescale_size=uniform)
     if args.tta:
         from image_segmentation_lab_tpu.utils.ops import resize
-
-        # averaged softmax probabilities over scales x {identity, hflip}
-        # (the jit-compiled analog of reference aug_test_logits,
-        # encoder_decoder.py:337-353)
-        @jax.jit
-        def tta_step(variables, img):
-            H, W = img.shape[1:3]
-            acc = 0.0
-            n = 0
-            for s in args.tta_scales:
-                scaled = resize(img, size=(int(H * s), int(W * s)),
-                                mode="bilinear", align_corners=False)
-                for flip in (False, True):
-                    x = scaled[:, :, ::-1, :] if flip else scaled
-                    probs = model.apply(variables, x, method="inference")
-                    if flip:
-                        probs = probs[:, :, ::-1, :]
-                    acc = acc + resize(probs, size=(H, W), mode="bilinear",
-                                       align_corners=False)
-                    n += 1
-            return acc / n
-
         from image_segmentation_lab_tpu.train_state import (binarize_channels,
-                                                            head_threshold)
+                                                            head_threshold,
+                                                            make_tta_step)
+        tta_step = make_tta_step(model, tuple(args.tta_scales))
         thr = head_threshold(model)
 
         class TTAStep:
