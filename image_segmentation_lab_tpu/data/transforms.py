@@ -87,9 +87,18 @@ class Compose(Transform):
         return shape
 
     def __call__(self, key, img, mask):
+        out_img, out_mask = img, mask
         for i, t in enumerate(self.transforms):
-            img, mask = t(jax.random.fold_in(key, i), img, mask)
-        return img, mask
+            out_img, out_mask = t(jax.random.fold_in(key, i), out_img,
+                                  out_mask)
+        if self.p >= 1.0:
+            return out_img, out_mask
+        # nested Compose with p<1 skips the whole block with prob 1-p
+        # (albumentations semantics); requires shape-preserving children
+        assert out_img.shape == img.shape, (
+            "Compose with p<1 must not change shapes")
+        return _apply_p(jax.random.fold_in(key, len(self.transforms)),
+                        self.p, out_img, out_mask, img, mask)
 
 
 class OneOf(Transform):
@@ -118,6 +127,11 @@ class Resize(Transform):
                  mask_interpolation: int = 0, p: float = 1.0, **kw):
         super().__init__(p=p)
         self.height, self.width = int(height), int(width)
+        # 0 = nearest, 1 = bilinear; other cv2 codes (cubic/area/lanczos)
+        # are not implemented — fail loudly instead of silently coercing
+        assert interpolation in (0, 1) and mask_interpolation in (0, 1), (
+            f"only nearest(0)/bilinear(1) interpolation is implemented, got "
+            f"{interpolation}/{mask_interpolation}")
         self.interpolation = interpolation
         self.mask_interpolation = mask_interpolation
 
@@ -227,12 +241,23 @@ class RandomCrop(Transform):
         return img, mask
 
 
+_CV2_BORDER_TO_JNP = {0: "constant", 1: "edge", 2: "symmetric",
+                      4: "reflect"}
+
+
 class PadIfNeeded(Transform):
+    """albumentations defaults: border_mode=4 (BORDER_REFLECT_101) and
+    mask padding 0, not ignore."""
+
     def __init__(self, min_height: int, min_width: int, fill: float = 0.0,
-                 fill_mask: float = 255.0, p: float = 1.0, **kw):
+                 fill_mask: float = 0.0, border_mode: int = 4,
+                 p: float = 1.0, **kw):
         super().__init__(p=p)
         self.min_height, self.min_width = int(min_height), int(min_width)
         self.fill, self.fill_mask = fill, fill_mask
+        assert border_mode in _CV2_BORDER_TO_JNP, (
+            f"unsupported cv2 border_mode {border_mode}")
+        self.mode = _CV2_BORDER_TO_JNP[border_mode]
 
     def output_shape(self, shape):
         return (max(shape[0], self.min_height),
@@ -241,13 +266,17 @@ class PadIfNeeded(Transform):
     def apply(self, key, img, mask):
         ph = max(self.min_height - img.shape[0], 0)
         pw = max(self.min_width - img.shape[1], 0)
-        img = jnp.pad(img, ((ph // 2, ph - ph // 2),
-                            (pw // 2, pw - pw // 2), (0, 0)),
-                      constant_values=self.fill)
-        if mask is not None:
-            mask = jnp.pad(mask, ((ph // 2, ph - ph // 2),
-                                  (pw // 2, pw - pw // 2)),
-                           constant_values=self.fill_mask)
+        pads_img = ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0))
+        pads_mask = pads_img[:2]
+        if self.mode == "constant":
+            img = jnp.pad(img, pads_img, constant_values=self.fill)
+            if mask is not None:
+                mask = jnp.pad(mask, pads_mask,
+                               constant_values=self.fill_mask)
+        else:
+            img = jnp.pad(img, pads_img, mode=self.mode)
+            if mask is not None:
+                mask = jnp.pad(mask, pads_mask, mode=self.mode)
         return img, mask
 
 
@@ -297,53 +326,108 @@ class Blur(Transform):
 
 
 class GaussianBlur(Transform):
+    """albumentations semantics: sample an odd ksize from ``blur_limit``;
+    when ``sigma_limit`` is 0, sigma follows cv2's getGaussianKernel
+    formula ``0.3*((ksize-1)*0.5 - 1) + 0.8``, else uniform from the
+    limit.  The sampled kernel is embedded in a static (kmax,kmax) grid
+    (jit-friendly) by zeroing taps beyond its radius."""
+
     def __init__(self, blur_limit=(3, 7), sigma_limit=(0.0, 0.0),
                  p: float = 0.5, **kw):
-        super().__init__(p=p)
-        self.kmax = (int(blur_limit[1]) if isinstance(blur_limit, (list, tuple))
-                     else int(blur_limit)) | 1
-        self.sigma_limit = sigma_limit
-
-    def apply(self, key, img, mask):
-        lo, hi = self.sigma_limit
-        if hi <= 0:
-            hi = 0.3 * ((self.kmax - 1) * 0.5 - 1) + 0.8
-            lo = max(lo, 0.3)
-        sigma = _uniform(key, lo, hi)
-        c = self.kmax // 2
-        xs = (jnp.arange(self.kmax) - c).astype(jnp.float32)
-        g = jnp.exp(-0.5 * (xs / sigma) ** 2)
-        kernel = g[:, None] * g[None, :]
-        kernel = kernel / jnp.sum(kernel)
-        return _depthwise_blur(img, kernel), mask
-
-
-class MotionBlur(Transform):
-    """Line kernel at a random angle (albumentations MotionBlur; the
-    allow_shifted/direction refinements are approximated by the centered
-    line — same blur length distribution)."""
-
-    def __init__(self, blur_limit=(3, 7), p: float = 0.5, **kw):
         super().__init__(p=p)
         lim = ((3, blur_limit) if isinstance(blur_limit, (int, float))
                else tuple(int(v) for v in blur_limit))
         self.kmin = max(int(lim[0]) | 1, 3)
         self.kmax = int(lim[1]) | 1
+        self.sigma_limit = ((0.0, sigma_limit) if isinstance(
+            sigma_limit, (int, float)) else tuple(sigma_limit))
+
+    # cv2 getGaussianKernel(ksize, sigma<=0) returns these fixed binomial
+    # kernels for ksize<=7; the 0.3*((k-1)*0.5-1)+0.8 formula is only
+    # used beyond that
+    _CV2_SMALL_GAUSS = {
+        1: [1.0],
+        3: [0.25, 0.5, 0.25],
+        5: [0.0625, 0.25, 0.375, 0.25, 0.0625],
+        7: [0.03125, 0.109375, 0.21875, 0.28125, 0.21875, 0.109375,
+            0.03125]}
+
+    def _sigma0_row(self, ksize: int) -> np.ndarray:
+        if ksize in self._CV2_SMALL_GAUSS:
+            v = np.asarray(self._CV2_SMALL_GAUSS[ksize], np.float32)
+        else:
+            sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+            x = np.arange(ksize) - (ksize - 1) / 2.0
+            v = np.exp(-0.5 * (x / sigma) ** 2).astype(np.float32)
+            v /= v.sum()
+        pad = (self.kmax - ksize) // 2
+        return np.pad(v, (pad, pad))
 
     def apply(self, key, img, mask):
-        k_size, k_angle = jax.random.split(key)
+        k_size, k_sigma = jax.random.split(key)
+        n_sizes = (self.kmax - self.kmin) // 2 + 1
+        idx = jax.random.randint(k_size, (), 0, n_sizes)
+        size = self.kmin + 2 * idx
+        lo, hi = self.sigma_limit
+        if hi <= 0:
+            table = jnp.asarray(np.stack(
+                [self._sigma0_row(s)
+                 for s in range(self.kmin, self.kmax + 1, 2)]))
+            g = table[idx]
+            kernel = g[:, None] * g[None, :]
+        else:
+            sigma = _uniform(k_sigma, lo, hi)
+            c = self.kmax // 2
+            r = (size - 1) // 2
+            xs = (jnp.arange(self.kmax) - c).astype(jnp.float32)
+            g = jnp.where(jnp.abs(jnp.arange(self.kmax) - c) <= r,
+                          jnp.exp(-0.5 * (xs / sigma) ** 2), 0.0)
+            kernel = g[:, None] * g[None, :]
+            kernel = kernel / jnp.sum(kernel)
+        return _depthwise_blur(img, kernel), mask
+
+
+class MotionBlur(Transform):
+    """Line kernel at a random angle (albumentations MotionBlur), with
+    the ``direction`` intensity ramp (weight 1 + direction·t along the
+    line, t ∈ [-1,1]) and ``allow_shifted`` off-center line placement
+    (line center uniformly offset within the kernel while keeping the
+    full line inside the grid)."""
+
+    def __init__(self, blur_limit=(3, 7), allow_shifted: bool = True,
+                 direction_range=(-1.0, 1.0), p: float = 0.5, **kw):
+        super().__init__(p=p)
+        lim = ((3, blur_limit) if isinstance(blur_limit, (int, float))
+               else tuple(int(v) for v in blur_limit))
+        self.kmin = max(int(lim[0]) | 1, 3)
+        self.kmax = int(lim[1]) | 1
+        self.allow_shifted = bool(allow_shifted)
+        self.direction_range = tuple(direction_range)
+
+    def apply(self, key, img, mask):
+        k_size, k_angle, k_dir, k_shift = jax.random.split(key, 4)
         n_sizes = (self.kmax - self.kmin) // 2 + 1
         size = self.kmin + 2 * jax.random.randint(k_size, (), 0, n_sizes)
         r = (size - 1) / 2.0
         angle = _uniform(k_angle, 0.0, math.pi)
+        direction = _uniform(k_dir, *self.direction_range)
         c = self.kmax // 2
-        yy = jnp.arange(self.kmax)[:, None] - c
-        xx = jnp.arange(self.kmax)[None, :] - c
-        # distance from the line through center at `angle`
+        cy = cx = jnp.float32(c)
+        if self.allow_shifted:
+            # offset the line center but keep both endpoints in-grid
+            my = jnp.maximum(c - r * jnp.abs(jnp.sin(angle)), 0.0)
+            mx = jnp.maximum(c - r * jnp.abs(jnp.cos(angle)), 0.0)
+            sy, sx = jax.random.uniform(k_shift, (2,), jnp.float32, -1.0, 1.0)
+            cy, cx = cy + sy * my, cx + sx * mx
+        yy = jnp.arange(self.kmax)[:, None] - cy
+        xx = jnp.arange(self.kmax)[None, :] - cx
+        # perpendicular / signed along-line coordinates of each tap
         d_perp = jnp.abs(-jnp.sin(angle) * xx + jnp.cos(angle) * yy)
-        d_along = jnp.abs(jnp.cos(angle) * xx + jnp.sin(angle) * yy)
-        kernel = ((d_perp <= 0.5) & (d_along <= r)).astype(jnp.float32)
-        kernel = kernel / jnp.maximum(jnp.sum(kernel), 1.0)
+        t = jnp.cos(angle) * xx + jnp.sin(angle) * yy
+        on_line = (d_perp <= 0.5) & (jnp.abs(t) <= r)
+        ramp = jnp.maximum(1.0 + direction * t / jnp.maximum(r, 1.0), 0.0)
+        kernel = jnp.where(on_line, ramp, 0.0)
+        kernel = kernel / jnp.maximum(jnp.sum(kernel), 1e-6)
         return _depthwise_blur(img, kernel), mask
 
 
@@ -376,9 +460,12 @@ class Defocus(Transform):
 
 
 class GlassBlur(Transform):
-    """Approximation: ``iterations`` rounds of random local pixel
-    displacement within ``max_delta`` followed by a sigma gaussian — the
-    statistics of albumentations' sequential pixel-swap algorithm."""
+    """imagecorruptions-style glass blur: gaussian(sigma) → ``iterations``
+    rounds of random local pixel displacement within ``max_delta`` →
+    gaussian(sigma).  The gaussian kernel uses scipy's truncate=4 radius.
+    Approximation vs albumentations: the displacement is a parallel
+    gather rather than the sequential in-place pixel swap (same local
+    shuffle statistics, jit-friendly)."""
 
     def __init__(self, sigma: float = 0.7, max_delta: int = 4,
                  iterations: int = 2, p: float = 0.5, mode: str = "fast",
@@ -388,22 +475,28 @@ class GlassBlur(Transform):
         self.max_delta = int(max_delta)
         self.iterations = int(iterations)
 
+    def _gauss_kernel(self):
+        # scipy gaussian_filter default truncate=4.0: radius = 4σ + 0.5
+        r = max(int(4.0 * self.sigma + 0.5), 1)
+        xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+        g = jnp.exp(-0.5 * (xs / self.sigma) ** 2)
+        kernel = g[:, None] * g[None, :]
+        return kernel / kernel.sum()
+
     def apply(self, key, img, mask):
         H, W = img.shape[0], img.shape[1]
-        out = img
+        kernel = self._gauss_kernel()
+        # imagecorruptions glass_blur: gaussian FIRST, then displacement
+        # rounds, then a final gaussian
+        out = _depthwise_blur(img, kernel)
         for i in range(self.iterations):
             k = jax.random.fold_in(key, i)
+            # np.random.randint has an exclusive high bound: [-d, d)
             dy, dx = jax.random.randint(k, (2, H, W), -self.max_delta,
-                                        self.max_delta + 1)
+                                        self.max_delta)
             iy = jnp.clip(jnp.arange(H)[:, None] + dy, 0, H - 1)
             ix = jnp.clip(jnp.arange(W)[None, :] + dx, 0, W - 1)
             out = out[iy, ix]
-        # final gaussian with self.sigma
-        ks = max(int(2 * round(2 * self.sigma) + 1), 3)
-        xs = (jnp.arange(ks) - ks // 2).astype(jnp.float32)
-        g = jnp.exp(-0.5 * (xs / self.sigma) ** 2)
-        kernel = g[:, None] * g[None, :]
-        kernel = kernel / kernel.sum()
         return _depthwise_blur(out, kernel), mask
 
 
@@ -424,11 +517,14 @@ class RandomBrightnessContrast(Transform):
         kb, kc = jax.random.split(key)
         alpha = 1.0 + _uniform(kc, *self.contrast_limit)
         beta = _uniform(kb, *self.brightness_limit)
+        # albumentations' uint8 LUT uses the ORIGINAL image mean when
+        # brightness_by_max=False — compute it before contrast scaling
+        mean_val = jnp.mean(img)
         img = img * alpha
         if self.brightness_by_max:
             img = img + beta * 255.0
         else:
-            img = img + beta * jnp.mean(img)
+            img = img + beta * mean_val
         return jnp.clip(img, 0.0, 255.0), mask
 
 
@@ -497,8 +593,41 @@ class HueSaturationValue(Transform):
         return jnp.clip(out, 0.0, 255.0), mask
 
 
+def _rgb_to_hls(img):
+    """Vectorized RGB→HLS over (..., 3) arrays in [0,1]; H in degrees."""
+    mx = jnp.max(img, axis=-1)
+    mn = jnp.min(img, axis=-1)
+    d = mx - mn
+    light = (mx + mn) / 2.0
+    h = _rgb_to_hsv(img)[..., 0]  # hue is identical in HSV and HLS
+    denom = 1.0 - jnp.abs(2.0 * light - 1.0)
+    s = jnp.where(d == 0, 0.0, d / jnp.maximum(denom, 1e-8))
+    return jnp.stack([h, light, s], axis=-1)
+
+
+def _hls_to_rgb(hls):
+    """Vectorized HLS→RGB (H in degrees)."""
+    h = (hls[..., 0] % 360.0) / 60.0
+    light, s = hls[..., 1], hls[..., 2]
+    c = (1.0 - jnp.abs(2.0 * light - 1.0)) * s
+    x = c * (1 - jnp.abs(h % 2 - 1))
+    m = light - c / 2.0
+    idx = jnp.floor(h).astype(jnp.int32) % 6
+    z = jnp.zeros_like(c)
+    conds = [idx == k for k in range(6)]
+    r = jnp.select(conds, [c, x, z, z, x, c])
+    g = jnp.select(conds, [x, c, c, x, z, z])
+    b = jnp.select(conds, [z, z, x, c, c, x])
+    return jnp.stack([r + m, g + m, b + m], axis=-1)
+
+
 class ISONoise(Transform):
-    """Camera sensor noise: luma poisson-ish noise + chroma color shift."""
+    """Camera sensor noise (albumentations iso_noise semantics): strictly
+    positive Poisson noise — λ = std(HLS lightness)·intensity·255 — added
+    to the lightness scaled by (1 − L), plus a gaussian hue shift of
+    std = color_shift·intensity·360 degrees.  The Poisson draw is
+    approximated by Normal(λ, √λ) clipped at 0 (jit-friendly; λ is tens
+    at typical intensities, where the approximation is tight)."""
 
     def __init__(self, color_shift=(0.01, 0.05), intensity=(0.1, 0.5),
                  p: float = 0.5, **kw):
@@ -510,16 +639,18 @@ class ISONoise(Transform):
         k1, k2, k3, k4 = jax.random.split(key, 4)
         intensity = _uniform(k1, *self.intensity)
         color_shift = _uniform(k2, *self.color_shift)
-        x = img / 255.0
-        luma = jnp.mean(x, axis=-1, keepdims=True)
-        # poisson approx: gaussian with std sqrt(luma)
-        noise = jax.random.normal(k3, x.shape) * jnp.sqrt(
-            jnp.maximum(luma, 1e-6)) * intensity
-        hue_noise = (jax.random.normal(k4, luma.shape)
+        hls = _rgb_to_hls(img / 255.0)
+        light = hls[..., 1]
+        lam = jnp.std(light) * intensity * 255.0
+        lum_noise = jnp.maximum(
+            lam + jnp.sqrt(jnp.maximum(lam, 0.0))
+            * jax.random.normal(k3, light.shape), 0.0)
+        hue_noise = (jax.random.normal(k4, light.shape)
                      * color_shift * intensity * 360.0)
-        hsv = _rgb_to_hsv(jnp.clip(x + noise, 0.0, 1.0))
-        h = (hsv[..., 0] + hue_noise[..., 0]) % 360.0
-        out = _hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
+        h = (hls[..., 0] + hue_noise) % 360.0
+        light = jnp.clip(light + (lum_noise / 255.0) * (1.0 - light),
+                         0.0, 1.0)
+        out = _hls_to_rgb(jnp.stack([h, light, hls[..., 2]], axis=-1))
         return jnp.clip(out * 255.0, 0.0, 255.0), mask
 
 

@@ -1,0 +1,152 @@
+"""Semantic-parity regressions for the on-device augmentation transforms
+vs albumentations/cv2 definitions (parameter units, sampling, ordering).
+
+Each test pins one of the parity fixes: GaussianBlur's cv2 sigma formula,
+RandomBrightnessContrast's original-image mean, PadIfNeeded's reflect-101
+default border, nested-Compose probability gating, Resize interpolation
+validation, GlassBlur's pre+post gaussian, ISONoise's positive lightness
+noise, and the HLS conversion roundtrip.
+"""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_segmentation_lab_tpu.data import transforms as T
+from image_segmentation_lab_tpu.data.pipeline import Pipeline
+
+
+def make_pipeline(transforms):
+    return Pipeline.from_dict({
+        "transform": {"__class_fullname__": "Compose", "p": 1.0,
+                      "transforms": transforms}})
+
+
+@pytest.fixture
+def img32(rng):
+    return rng.randint(0, 255, (1, 32, 32, 3)).astype(np.uint8)
+
+
+def test_gaussian_blur_matches_cv2_fixed_sigma(img32):
+    spec = [{"__class_fullname__": "GaussianBlur", "p": 1.0,
+             "blur_limit": [5, 5], "sigma_limit": [1.5, 1.5]}]
+    out, _ = make_pipeline(spec)(jax.random.PRNGKey(0), img32,
+                                 np.zeros((1, 32, 32)))
+    ref = cv2.GaussianBlur(img32[0].astype(np.float32), (5, 5), 1.5)
+    np.testing.assert_allclose(np.asarray(out[0]), ref, atol=1e-2)
+
+
+def test_gaussian_blur_sigma0_uses_cv2_ksize_formula(img32):
+    # sigma_limit=0 → sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8, exactly what
+    # cv2.GaussianBlur(..., sigmaX=0) computes
+    spec = [{"__class_fullname__": "GaussianBlur", "p": 1.0,
+             "blur_limit": [5, 5], "sigma_limit": [0.0, 0.0]}]
+    out, _ = make_pipeline(spec)(jax.random.PRNGKey(0), img32,
+                                 np.zeros((1, 32, 32)))
+    ref = cv2.GaussianBlur(img32[0].astype(np.float32), (5, 5), 0)
+    np.testing.assert_allclose(np.asarray(out[0]), ref, atol=1e-2)
+
+
+def test_brightness_uses_original_mean_when_not_by_max(img32):
+    spec = [{"__class_fullname__": "RandomBrightnessContrast", "p": 1.0,
+             "brightness_limit": [0.2, 0.2], "contrast_limit": [0.5, 0.5],
+             "brightness_by_max": False}]
+    out, _ = make_pipeline(spec)(jax.random.PRNGKey(0), img32,
+                                 np.zeros((1, 32, 32)))
+    f = img32[0].astype(np.float32)
+    ref = np.clip(f * 1.5 + 0.2 * f.mean(), 0, 255)
+    np.testing.assert_allclose(np.asarray(out[0]), ref, atol=1e-2)
+
+
+def test_pad_if_needed_default_reflect101():
+    t = T.PadIfNeeded(min_height=7, min_width=7)
+    img = np.arange(5 * 5 * 1, dtype=np.float32).reshape(5, 5, 1)
+    mask = np.arange(25, dtype=np.float32).reshape(5, 5)
+    out, m = t.apply(jax.random.PRNGKey(0), jnp.asarray(img),
+                     jnp.asarray(mask))
+    ref = np.pad(img, ((1, 1), (1, 1), (0, 0)), mode="reflect")
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    np.testing.assert_array_equal(np.asarray(m),
+                                  np.pad(mask, 1, mode="reflect"))
+
+
+def test_pad_if_needed_constant_fill_mask_defaults_zero():
+    t = T.PadIfNeeded(min_height=6, min_width=6, border_mode=0, fill=7.0)
+    img = np.ones((4, 4, 1), np.float32)
+    mask = np.ones((4, 4), np.float32)
+    out, m = t.apply(jax.random.PRNGKey(0), jnp.asarray(img),
+                     jnp.asarray(mask))
+    assert float(out[0, 0, 0]) == 7.0
+    assert float(m[0, 0]) == 0.0  # albumentations pads masks with 0
+
+
+def test_pad_if_needed_rejects_unknown_border_mode():
+    with pytest.raises(AssertionError):
+        T.PadIfNeeded(min_height=4, min_width=4, border_mode=3)
+
+
+def test_nested_compose_p_gates_whole_block():
+    img = np.arange(16, dtype=np.uint8).reshape(1, 4, 4, 1)
+    mask = (np.arange(16).reshape(1, 4, 4) % 2).astype(np.float32)
+    for p, changed in [(0.0, False), (1.0, True)]:
+        spec = [{"__class_fullname__": "Compose", "p": p, "transforms": [
+            {"__class_fullname__": "HorizontalFlip", "p": 1.0}]}]
+        out, m = make_pipeline(spec)(jax.random.PRNGKey(0), img, mask)
+        o = np.asarray(out[0, ..., 0])
+        base = img[0, ..., 0].astype(np.float32)
+        expected = base[:, ::-1] if changed else base
+        np.testing.assert_array_equal(o, expected)
+        np.testing.assert_array_equal(
+            np.asarray(m[0]), mask[0][:, ::-1] if changed else mask[0])
+
+
+def test_resize_rejects_unimplemented_interpolation():
+    with pytest.raises(AssertionError):
+        T.Resize(height=8, width=8, interpolation=2)
+    with pytest.raises(AssertionError):
+        T.Resize(height=8, width=8, mask_interpolation=3)
+
+
+def test_glass_blur_truncate4_kernel_and_smoothing(img32):
+    t = T.GlassBlur(sigma=0.7, max_delta=2, iterations=1, p=1.0)
+    # scipy gaussian_filter truncate=4: radius = int(4*0.7 + 0.5) = 3 → 7
+    assert t._gauss_kernel().shape == (7, 7)
+    out, _ = t.apply(jax.random.PRNGKey(0),
+                     jnp.asarray(img32[0], jnp.float32), None)
+    f = img32[0].astype(np.float32)
+    # blurred before AND after displacement → variance clearly reduced,
+    # mean preserved
+    assert float(jnp.var(out)) < 0.9 * f.var()
+    assert abs(float(jnp.mean(out)) - f.mean()) < 5.0
+
+
+def test_iso_noise_gray_image_invariant_and_noise_positive(rng):
+    t = T.ISONoise(color_shift=(0.05, 0.05), intensity=(0.5, 0.5), p=1.0)
+    gray = jnp.full((16, 16, 3), 128.0)
+    out, _ = t.apply(jax.random.PRNGKey(0), gray, None)
+    # constant image: std(L)=0 → λ=0 → no lightness noise; saturation 0 →
+    # hue shift is invisible
+    np.testing.assert_allclose(np.asarray(out), np.asarray(gray), atol=1e-3)
+
+    img = jnp.asarray(rng.randint(0, 200, (16, 16, 3)), jnp.float32)
+    noisy, _ = t.apply(jax.random.PRNGKey(1), img, None)
+    # Poisson lightness noise is strictly positive → mean brightens
+    assert float(jnp.mean(noisy)) > float(jnp.mean(img))
+
+
+def test_hls_roundtrip(rng):
+    x = jnp.asarray(rng.rand(8, 8, 3), jnp.float32)
+    back = T._hls_to_rgb(T._rgb_to_hls(x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_motion_blur_direction_ramp_and_shift(img32):
+    t = T.MotionBlur(blur_limit=(7, 7), allow_shifted=True,
+                     direction_range=(1.0, 1.0), p=1.0)
+    out, _ = t.apply(jax.random.PRNGKey(0),
+                     jnp.asarray(img32[0], jnp.float32), None)
+    f = img32[0].astype(np.float32)
+    assert float(jnp.var(out)) < f.var()
+    assert abs(float(jnp.mean(out)) - f.mean()) < 5.0
