@@ -163,6 +163,43 @@ def apply_to(tree, predicate, transform):
         lambda x: transform(x) if predicate(x) else x, tree)
 
 
+# at most one async save in flight; the completion thread owns the
+# sidecar writes and the atomic swap
+_ASYNC = {"ckptr": None, "thread": None}
+
+
+def wait_for_async_save() -> None:
+    """Block until a pending ``backend='orbax_async'`` save (if any) has
+    fully landed on disk (orbax write + sidecars + atomic swap)."""
+    t = _ASYNC.get("thread")
+    if t is not None:
+        t.join()
+        _ASYNC["thread"] = None
+
+
+def _finalize_orbax_dir(payload, tmp: Path, path: Path) -> None:
+    """Write sidecars into the finished orbax dir, then swap into place."""
+    import shutil
+
+    # metadata and the optax train_state keep their python structure in
+    # sidecar pickles — StandardCheckpointer can't hold strings or
+    # NamedTuple treedefs
+    with open(tmp / "metadata.pkl", "wb") as f:
+        pickle.dump(payload["metadata"], f, protocol=4)
+    if "train_state" in payload:
+        with open(tmp / "train_state.pkl", "wb") as f:
+            pickle.dump(payload["train_state"], f, protocol=4)
+    # near-atomic swap (a bare rmtree-then-save could lose both copies)
+    old = path.with_name(path.name + ".old_orbax")
+    if path.is_dir():
+        path.rename(old)
+    elif path.exists():
+        path.unlink()
+    tmp.rename(path)
+    if old.exists():
+        shutil.rmtree(old)
+
+
 def save_checkpoint(variables,
                     filename,
                     metadata: Optional[Dict[str, Any]] = None,
@@ -176,7 +213,11 @@ def save_checkpoint(variables,
 
     ``backend='pickle'`` (default) writes one portable file;
     ``backend='orbax'`` writes an orbax directory — the right choice for
-    multi-host / very large states (sharded, atomic, async-capable).
+    multi-host / very large states (sharded, atomic);
+    ``backend='orbax_async'`` additionally overlaps the disk write with
+    training: the state is snapshotted to host synchronously, the write +
+    atomic swap happen on a background thread.  Call
+    ``wait_for_async_save()`` before reading the path or exiting.
     """
     payload: Dict[str, Any] = {
         "metadata": metadata or {},
@@ -184,11 +225,13 @@ def save_checkpoint(variables,
     }
     if train_state is not None:
         payload["train_state"] = weights_to_cpu(train_state)
-    if backend == "orbax":
+    if backend in ("orbax", "orbax_async"):
         import shutil
 
         import orbax.checkpoint as ocp
+        wait_for_async_save()  # one in flight; also protects tmp dir reuse
         path = Path(filename).resolve()
+        path.parent.mkdir(parents=True, exist_ok=True)
         tmp = path.with_name(path.name + ".tmp_orbax")
         old = path.with_name(path.name + ".old_orbax")
         for p in (tmp, old):
@@ -196,24 +239,30 @@ def save_checkpoint(variables,
                 shutil.rmtree(p)
             elif p.exists():
                 p.unlink()
-        # arrays go through orbax (sharded/typed); metadata and the optax
-        # train_state keep their python structure in sidecar pickles —
-        # StandardCheckpointer can't hold strings or NamedTuple treedefs
+        if backend == "orbax_async":
+            import threading
+            if _ASYNC["ckptr"] is None:
+                _ASYNC["ckptr"] = ocp.AsyncCheckpointer(
+                    ocp.StandardCheckpointHandler())
+            ckptr = _ASYNC["ckptr"]
+            # returns once the state is staged on host; disk I/O proceeds
+            # in orbax's background executor
+            ckptr.save(tmp, args=ocp.args.StandardSave(
+                {"state_dict": payload["state_dict"]}))
+
+            def _finish():
+                ckptr.wait_until_finished()
+                _finalize_orbax_dir(payload, tmp, path)
+
+            t = threading.Thread(target=_finish, daemon=True,
+                                 name="orbax-async-finalize")
+            t.start()
+            _ASYNC["thread"] = t
+            return
+        # arrays go through orbax (sharded/typed)
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(tmp, {"state_dict": payload["state_dict"]})
-        with open(tmp / "metadata.pkl", "wb") as f:
-            pickle.dump(payload["metadata"], f, protocol=4)
-        if "train_state" in payload:
-            with open(tmp / "train_state.pkl", "wb") as f:
-                pickle.dump(payload["train_state"], f, protocol=4)
-        # near-atomic swap (a bare rmtree-then-save could lose both copies)
-        if path.is_dir():
-            path.rename(old)
-        elif path.exists():
-            path.unlink()
-        tmp.rename(path)
-        if old.exists():
-            shutil.rmtree(old)
+        _finalize_orbax_dir(payload, tmp, path)
         return
     assert backend == "pickle", f"unknown checkpoint backend {backend}"
     Path(filename).parent.mkdir(parents=True, exist_ok=True)

@@ -39,6 +39,37 @@ from . import init_functions as F
 
 PathT = Tuple[str, ...]
 
+# ---------------------------------------------------------------------------
+# Init-info tracking (reference base_module.py:16 ``_params_init_info`` +
+# weight_init.py:76-77 ``update_init_info``): records, per param path, which
+# initializer last touched it.  torch hangs this state off module objects;
+# here params are plain pytrees, so it is a process-level ledger that
+# ``initialize``/initializer calls populate and ``dump_init_info`` reports.
+# ---------------------------------------------------------------------------
+_INIT_INFO: Dict[str, str] = {}
+
+
+def update_init_info(path, init_info: str) -> None:
+    """Record that the param at ``path`` (tuple or dotted str) was
+    initialized by ``init_info``."""
+    key = ".".join(path) if isinstance(path, (tuple, list)) else str(path)
+    _INIT_INFO[key] = init_info
+
+
+def get_init_info() -> Dict[str, str]:
+    return dict(_INIT_INFO)
+
+
+def reset_init_info() -> None:
+    _INIT_INFO.clear()
+
+
+def dump_init_info(logger=print) -> None:
+    """Log every tracked param's initializer (reference
+    base_module.py:70-93 ``init_weights`` debug dump)."""
+    for name in sorted(_INIT_INFO):
+        logger(f"{name} - {_INIT_INFO[name]}")
+
 
 def flatten_params(params) -> Dict[PathT, Any]:
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -116,6 +147,11 @@ class BaseInit:
     def weight_fn(self):  # -> (key, shape, dtype) -> array
         raise NotImplementedError
 
+    def _get_init_info(self) -> str:
+        attrs = ", ".join(f"{k}={v}" for k, v in sorted(vars(self).items())
+                          if not k.startswith("_"))
+        return f"{type(self).__name__}({attrs})"
+
     def __call__(self, params, rng):
         flat = flatten_params(params)
         # owner kind per module path, to scope bias re-init to matched layers
@@ -132,11 +168,13 @@ class BaseInit:
                 if _layer_matches("bias", owner_kind.get(path[:-1]), self.layer) \
                         and owner_kind.get(path[:-1]) is not None:
                     new[path] = jnp.full(leaf.shape, self.bias, leaf.dtype)
+                    update_init_info(path, self._get_init_info())
                 else:
                     new[path] = leaf
             elif _layer_matches(kind, None, self.layer):
                 rng, sub = jax.random.split(rng)
                 new[path] = wfn(sub, leaf.shape, leaf.dtype)
+                update_init_info(path, self._get_init_info())
             else:
                 new[path] = leaf
         return unflatten_params(new)
@@ -230,8 +268,12 @@ class PretrainedInit:
 
     def __call__(self, params, rng=None):
         from .checkpoint import load_checkpoint_to_params
-        return load_checkpoint_to_params(params, self.checkpoint,
-                                         prefix=self.prefix)
+        out = load_checkpoint_to_params(params, self.checkpoint,
+                                        prefix=self.prefix)
+        info = f"PretrainedInit: load from {self.checkpoint}"
+        for path in flatten_params(out):
+            update_init_info(path, info)
+        return out
 
 
 def initialize_from_network_cfg(params, network_cfg, rng):

@@ -139,12 +139,14 @@ def pth_metadata(metadata: Dict[str, Any],
 
 
 def save_model(state, metadata: Dict[str, Any], path,
-               include_train_state: bool = False) -> None:
+               include_train_state: bool = False,
+               backend: str = "pickle") -> None:
     """``{'metadata', 'state_dict'}`` checkpoint (reference
-    train_utils.py:160-165) with optional optimizer state for resume."""
+    train_utils.py:160-165) with optional optimizer state for resume.
+    ``backend='orbax_async'`` overlaps the write with the next epoch."""
     train_state = None
     if include_train_state:
         train_state = dict(step=np.asarray(jax.device_get(state.step)),
                            opt_state=jax.device_get(state.opt_state))
     save_checkpoint(state.variables(), path, metadata=metadata,
-                    train_state=train_state)
+                    train_state=train_state, backend=backend)

@@ -183,3 +183,45 @@ def test_orbax_backend_roundtrip(tmp_path, small_model):
     assert int(ckpt["metadata"]["epoch"]) == 7
     from helpers import assert_trees_equal
     assert_trees_equal(restored, variables)
+
+
+def test_orbax_async_backend_roundtrip(tmp_path, small_model):
+    from image_segmentation_lab_tpu.core.initialize import wait_for_async_save
+    model, variables = small_model
+    path = tmp_path / "orbax_async_ckpt"
+    # two back-to-back saves: the second must wait for (and supersede) the
+    # first without corrupting the directory
+    save_checkpoint(variables, path, metadata={"epoch": 1},
+                    train_state={"step": 10}, backend="orbax_async")
+    save_checkpoint(variables, path, metadata={"epoch": 2},
+                    train_state={"step": 20}, backend="orbax_async")
+    wait_for_async_save()
+    assert path.is_dir()
+    assert not path.with_name(path.name + ".tmp_orbax").exists()
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, variables)
+    restored, ckpt = load_checkpoint(zeroed, path, logger=None)
+    assert int(ckpt["metadata"]["epoch"]) == 2
+    assert int(ckpt["train_state"]["step"]) == 20
+    from helpers import assert_trees_equal
+    assert_trees_equal(restored, variables)
+
+
+def test_init_info_tracking(small_model):
+    from image_segmentation_lab_tpu.core.initialize import (
+        get_init_info, initialize, reset_init_info)
+    model, variables = small_model
+    reset_init_info()
+    initialize(variables["params"],
+               {"type": "Kaiming", "layer": "Conv2d"}, jax.random.PRNGKey(0))
+    info = get_init_info()
+    assert info, "conv weights should be tracked"
+    assert all("KaimingInit" in v for v in info.values())
+    # only conv weights + their biases were touched
+    assert all(k.endswith((".weight", ".bias", "weight", "bias"))
+               for k in info)
+    lines = []
+    from image_segmentation_lab_tpu.core.initialize import dump_init_info
+    dump_init_info(logger=lines.append)
+    assert len(lines) == len(info)
+    reset_init_info()
+    assert not get_init_info()

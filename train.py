@@ -51,6 +51,10 @@ def parse_args():
                         help="override schedule epochs")
     parser.add_argument("--profile-dir", type=Path, default=None,
                         help="write a jax.profiler trace of epoch 0 here")
+    parser.add_argument("--ckpt-backend", default="pickle",
+                        choices=["pickle", "orbax", "orbax_async"],
+                        help="checkpoint format; orbax_async overlaps "
+                             "the write with the next epoch")
     parser.add_argument("--local_rank", type=int, default=0)
     return parser.parse_args()
 
@@ -177,12 +181,15 @@ def main():
     # config-driven init_cfg hooks (model- and backbone-level, incl.
     # Pretrained subtree loads) — the reference applies these in its
     # init_weights cascade; here they transform the params pytree once
-    from image_segmentation_lab_tpu.core.initialize import \
-        initialize_from_network_cfg
+    from image_segmentation_lab_tpu.core.initialize import (
+        dump_init_info, get_init_info, initialize_from_network_cfg)
     init_cfg_view = dict(network_cfg)
     init_cfg_view.pop("pretrained", None)  # handled above as a full load
     state = state.replace(params=initialize_from_network_cfg(
         state.params, init_cfg_view, jax.random.fold_in(root_key, 7)))
+    if get_init_info():  # per-param init provenance, as the reference's
+        with open(save_dir / "init_info.log", "w") as f:  # init_weights dump
+            dump_init_info(logger=lambda line: f.write(line + "\n"))
     resume_path = args.resume_from
     prior_best_pth = None
     if args.auto_resume and resume_path is None:
@@ -298,11 +305,17 @@ def main():
 
         meta = pth_metadata(metadata, epoch, fits, train_vars, val_vars,
                             val_metrics)
-        save_model(state, meta, last_pth, include_train_state=True)
+        save_model(state, meta, last_pth, include_train_state=True,
+                   backend=args.ckpt_backend)
         if fits < best_fits:
             best_fits = fits
-            save_model(state, meta, best_pth, include_train_state=True)
+            save_model(state, meta, best_pth, include_train_state=True,
+                       backend=args.ckpt_backend)
             print(f"epoch {epoch}: new best fits={fits:.4f} → {best_pth}")
+    if args.ckpt_backend == "orbax_async":
+        from image_segmentation_lab_tpu.core.initialize import \
+            wait_for_async_save
+        wait_for_async_save()
     print(f"done. best fits={best_fits:.4f}; checkpoints in {weights_dir}")
     return 0
 
