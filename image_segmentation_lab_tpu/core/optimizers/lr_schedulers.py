@@ -98,17 +98,36 @@ class LambdaLR(EpochSchedule):
 
 @LR_SCHEDULER.register("WarmScheduler")
 class WarmScheduler(EpochSchedule):
-    """Linear/exponential warmup wrapping another scheduler
-    (reference lr_update.py:40-79)."""
+    """Linear/exponential warmup (reference lr_update.py:40-79), plus an
+    ``after`` extension that chains into another scheduler post-warmup
+    (the reference holds flat base lr).
 
-    def __init__(self, warmup_epochs: int = 1, mode: str = "linear",
-                 warmup_ratio: float = 0.1, after: Optional[dict] = None,
-                 optimizer=None, **kwargs):
+    Reference argument names are accepted verbatim: ``warmup_iters``
+    (the reference steps its scheduler once per epoch, so these are the
+    same unit as ``warmup_epochs``), ``mode='exponential'``,
+    ``start_ratio``/``start_lr``/``end_lr``.  Trajectory matches the
+    reference get_lr exactly: at step 0 the lr IS the start lr; linear →
+    ``(end-start)·t/w + start``; exponential → ``start·(end/start)^(t/w)``;
+    flat at ``end`` (or ``after``'s schedule) once ``t ≥ w``.
+    """
+
+    def __init__(self, warmup_epochs: Optional[int] = None,
+                 warmup_iters: Optional[int] = None, mode: str = "linear",
+                 warmup_ratio: Optional[float] = None,
+                 start_ratio: Optional[float] = None,
+                 start_lr: Optional[float] = None,
+                 end_lr: Optional[float] = None,
+                 after: Optional[dict] = None, optimizer=None, **kwargs):
         super().__init__(optimizer)
-        assert mode in ("linear", "exp")
-        self.warmup_epochs = warmup_epochs
-        self.mode = mode
-        self.warmup_ratio = warmup_ratio
+        assert mode in ("linear", "exp", "exponential"), (
+            f"Unsupported warmup mode: {mode}")
+        self.mode = "exp" if mode == "exponential" else mode
+        w = warmup_iters if warmup_iters is not None else warmup_epochs
+        self.warmup_epochs = int(w) if w is not None else 1
+        r = start_ratio if start_ratio is not None else warmup_ratio
+        self.warmup_ratio = 0.1 if r is None else float(r)
+        self.start_lr = start_lr
+        self.end_lr = end_lr
         if after is not None:
             from ..builder import build_from_cfg
             self.after = build_from_cfg(after, LR_SCHEDULER)
@@ -120,10 +139,13 @@ class WarmScheduler(EpochSchedule):
             main = self.after.lr_at_epoch(
                 jnp.maximum(epoch - self.warmup_epochs, 0), base_lr)
         else:
-            main = base_lr
-        frac = jnp.minimum((epoch + 1) / self.warmup_epochs, 1.0)
+            main = self.end_lr if self.end_lr is not None else base_lr
+        start = (self.start_lr if self.start_lr is not None
+                 else base_lr * self.warmup_ratio)
+        end = self.end_lr if self.end_lr is not None else base_lr
+        frac = jnp.clip(epoch / self.warmup_epochs, 0.0, 1.0)
         if self.mode == "linear":
-            warm = self.warmup_ratio + (1 - self.warmup_ratio) * frac
+            warm = (end - start) * frac + start
         else:
-            warm = self.warmup_ratio ** (1.0 - frac)
-        return main * jnp.where(epoch < self.warmup_epochs, warm, 1.0)
+            warm = start * (end / max(start, 1e-12)) ** frac
+        return jnp.where(epoch < self.warmup_epochs, warm, main)

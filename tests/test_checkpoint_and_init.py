@@ -225,3 +225,54 @@ def test_init_info_tracking(small_model):
     assert len(lines) == len(info)
     reset_init_info()
     assert not get_init_info()
+
+
+def test_warm_scheduler_reference_args():
+    """Reference lr_update.py:40-79 argument names and exact trajectory."""
+    from image_segmentation_lab_tpu.core.optimizers import WarmScheduler
+    base = 0.1
+    s = WarmScheduler(warmup_iters=4, mode="exponential", start_ratio=0.01)
+    for e in range(4):
+        start = base * 0.01
+        expected = start * (base / start) ** (e / 4)
+        assert abs(float(s.lr_at_epoch(e, base)) - expected) < 1e-7
+    assert abs(float(s.lr_at_epoch(4, base)) - base) < 1e-7
+    s2 = WarmScheduler(warmup_iters=2, mode="linear",
+                       start_lr=0.002, end_lr=0.01)
+    assert abs(float(s2.lr_at_epoch(0, base)) - 0.002) < 1e-7
+    assert abs(float(s2.lr_at_epoch(1, base)) - 0.006) < 1e-7
+    assert abs(float(s2.lr_at_epoch(2, base)) - 0.01) < 1e-7
+
+
+def test_schedulers_match_torch():
+    """Epoch-for-epoch lr parity with torch.optim.lr_scheduler (which the
+    reference registers directly, lr_update.py:20-37)."""
+    import torch
+    from image_segmentation_lab_tpu.core.optimizers import (
+        ExponentialLR, LambdaLR, PolynomialLR, StepLR)
+    base = 0.1
+    cases = [
+        (StepLR(step_size=3, gamma=0.5),
+         lambda o: torch.optim.lr_scheduler.StepLR(o, step_size=3,
+                                                   gamma=0.5)),
+        (PolynomialLR(total_iters=8, power=0.9),
+         lambda o: torch.optim.lr_scheduler.PolynomialLR(o, total_iters=8,
+                                                         power=0.9)),
+        (ExponentialLR(gamma=0.9),
+         lambda o: torch.optim.lr_scheduler.ExponentialLR(o, gamma=0.9)),
+        (LambdaLR(lr_lambda=lambda e: 1.0 / (1 + e)),
+         lambda o: torch.optim.lr_scheduler.LambdaLR(
+             o, lr_lambda=lambda e: 1.0 / (1 + e))),
+    ]
+    for ours, make_torch in cases:
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=base)
+        sch = make_torch(opt)
+        for epoch in range(12):
+            torch_lr = opt.param_groups[0]["lr"]
+            ours_lr = float(ours.lr_at_epoch(epoch, base))
+            assert abs(torch_lr - ours_lr) < 1e-7, (
+                f"{type(ours).__name__} epoch {epoch}: "
+                f"torch {torch_lr} vs ours {ours_lr}")
+            opt.step()
+            sch.step()
