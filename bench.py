@@ -128,9 +128,9 @@ def main():
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--remeasure-cpu", action="store_true")
     parser.add_argument("--no-amp", action="store_true")
-    parser.add_argument("--train-bench", action="store_true",
-                        help="also measure train-step throughput (extra "
-                             "compile ~minutes)")
+    parser.add_argument("--no-train-bench", action="store_true",
+                        help="skip the train-step throughput measurement "
+                             "(saves one extra compile)")
     args = parser.parse_args()
 
     if args.quick:
@@ -152,13 +152,21 @@ def main():
     iters = 3 if args.quick else args.iters
     throughput, p50 = measure(model, variables, batch, iters)
 
-    # CPU baseline (cached)
+    # CPU baseline (cached, keyed by model depth so a --quick depth-18 run
+    # never reuses a depth-50 baseline or vice versa)
+    depth = 18 if args.quick else 50
     vs_baseline = None
     cpu_ips = None
-    if BASELINE_CACHE.exists() and not args.remeasure_cpu:
+    cached = {}
+    if BASELINE_CACHE.exists():
         cached = json.loads(BASELINE_CACHE.read_text())
-        cpu_ips = cached.get("cpu_images_per_sec")
-    if cpu_ips is None and platform != "cpu":
+        if "entries" not in cached:  # migrate legacy single-entry format
+            cached = {"entries": {"50": {
+                "cpu_images_per_sec": cached.get("cpu_images_per_sec")}}}
+    entry = cached.get("entries", {}).get(str(depth), {})
+    if not args.remeasure_cpu:
+        cpu_ips = entry.get("cpu_images_per_sec")
+    if cpu_ips is None:
         # measure the same computation on host CPU, few iterations
         cpu_dev = jax.devices("cpu")[0]
         with jax.default_device(cpu_dev):
@@ -166,18 +174,19 @@ def main():
             m2, v2 = build_model_and_vars(args.quick)
             cpu_tp, _ = measure(m2, v2, batch=1, iters=2, warmup=1)
         cpu_ips = cpu_tp
-        BASELINE_CACHE.write_text(json.dumps(
-            {"cpu_images_per_sec": cpu_ips,
-             "note": "DeepLabV3-R50 512x512 slide inference, host CPU fp32"},
-            indent=2))
+        cached.setdefault("entries", {})[str(depth)] = {
+            "cpu_images_per_sec": cpu_ips,
+            "note": f"DeepLabV3-R{depth} 512x512 slide inference, "
+                    "host CPU fp32"}
+        BASELINE_CACHE.write_text(json.dumps(cached, indent=2))
         set_policy("fp32" if (args.no_amp or args.quick) else "bf16")
     if cpu_ips:
         vs_baseline = throughput / cpu_ips
 
     train_ips = None
-    if args.train_bench:
-        train_ips = measure_train(model, batch=4 if args.quick else 8,
-                                  iters=iters)
+    if not args.no_train_bench:
+        train_ips = measure_train(model, batch=2 if args.quick else 16,
+                                  iters=2 if args.quick else max(iters, 5))
 
     result = {
         "metric": METRIC,
