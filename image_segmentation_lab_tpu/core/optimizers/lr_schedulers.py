@@ -108,7 +108,9 @@ class WarmScheduler(EpochSchedule):
     ``start_ratio``/``start_lr``/``end_lr``.  Trajectory matches the
     reference get_lr exactly: at step 0 the lr IS the start lr; linear →
     ``(end-start)·t/w + start``; exponential → ``start·(end/start)^(t/w)``;
-    flat at ``end`` (or ``after``'s schedule) once ``t ≥ w``.
+    once ``t ≥ w`` the lr reverts to the optimizer's base lr exactly like
+    the reference (get_lr returns base_lrs, lr_update.py:74-79) — or to
+    ``after``'s schedule when one is chained.
     """
 
     def __init__(self, warmup_epochs: Optional[int] = None,
@@ -139,7 +141,9 @@ class WarmScheduler(EpochSchedule):
             main = self.after.lr_at_epoch(
                 jnp.maximum(epoch - self.warmup_epochs, 0), base_lr)
         else:
-            main = self.end_lr if self.end_lr is not None else base_lr
+            # Reference get_lr (lr_update.py:74-79) returns base_lrs once
+            # warmup finishes, even when end_lr != base lr.
+            main = base_lr
         start = (self.start_lr if self.start_lr is not None
                  else base_lr * self.warmup_ratio)
         end = self.end_lr if self.end_lr is not None else base_lr

@@ -161,22 +161,54 @@ class VerticalFlip(Transform):
         return img[::-1, :, :], (mask[::-1, :] if mask is not None else None)
 
 
-def _affine_sample(img, inv_matrix, center, fill, nearest=False):
-    """Sample img at inverse-affine-transformed coordinates (H,W grid)."""
+def _border_index(i, n, border_mode):
+    """Map an out-of-range index onto [0, n) per the cv2 border mode.
+
+    0=CONSTANT handled by the caller (mask + fill); 1=REPLICATE clamps;
+    2=REFLECT (gfedcb|abcdefgh|gfedcba) has period 2n;
+    4=REFLECT_101 (gfedcb|abcdefgh|gfedcb) has period 2(n-1).
+    """
+    if border_mode == 1:
+        return jnp.clip(i, 0, n - 1)
+    if border_mode == 2:
+        m = jnp.mod(i, 2 * n)
+        return jnp.where(m >= n, 2 * n - 1 - m, m)
+    if border_mode == 4:
+        if n == 1:
+            return jnp.zeros_like(i)
+        m = jnp.mod(i, 2 * (n - 1))
+        return jnp.where(m >= n, 2 * (n - 1) - m, m)
+    raise AssertionError(f"unsupported cv2 border_mode {border_mode}")
+
+
+def _affine_sample(img, inv_matrix, center, fill, nearest=False,
+                   border_mode=0):
+    """Sample img at inverse-affine-transformed coordinates (H,W grid).
+
+    ``border_mode`` follows cv2: 0=constant(fill), 1=replicate, 2=reflect,
+    4=reflect_101 (albumentations' Rotate default).
+    """
     H, W = img.shape[0], img.shape[1]
     ys = jnp.arange(H, dtype=jnp.float32) - center[0]
     xs = jnp.arange(W, dtype=jnp.float32) - center[1]
     yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
     src_y = inv_matrix[0, 0] * yy + inv_matrix[0, 1] * xx + center[0]
     src_x = inv_matrix[1, 0] * yy + inv_matrix[1, 1] * xx + center[1]
+
+    def lookup(iy, ix):
+        """Fetch img[iy, ix] honoring the border mode; returns (value,
+        weight-mask) where the mask is 0 outside for constant borders."""
+        if border_mode == 0:
+            inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
+            v = img[jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1)]
+            return jnp.where(inb[..., None] if img.ndim == 3 else inb,
+                             v, fill)
+        return img[_border_index(iy, H, border_mode),
+                   _border_index(ix, W, border_mode)]
+
     if nearest:
-        iy = jnp.round(src_y).astype(jnp.int32)
-        ix = jnp.round(src_x).astype(jnp.int32)
-        inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-        iy = jnp.clip(iy, 0, H - 1)
-        ix = jnp.clip(ix, 0, W - 1)
-        out = img[iy, ix]
-        return jnp.where(inb[..., None] if img.ndim == 3 else inb, out, fill)
+        return lookup(jnp.round(src_y).astype(jnp.int32),
+                      jnp.round(src_x).astype(jnp.int32))
     y0 = jnp.floor(src_y).astype(jnp.int32)
     x0 = jnp.floor(src_x).astype(jnp.int32)
     wy = src_y - y0
@@ -184,10 +216,7 @@ def _affine_sample(img, inv_matrix, center, fill, nearest=False):
     out = 0.0
     for dy, wyy in ((0, 1 - wy), (1, wy)):
         for dx, wxx in ((0, 1 - wx), (1, wx)):
-            iy, ix = y0 + dy, x0 + dx
-            inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
-            v = img[jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1)]
-            v = jnp.where(inb[..., None] if img.ndim == 3 else inb, v, fill)
+            v = lookup(y0 + dy, x0 + dx)
             w = (wyy * wxx)
             out = out + v * (w[..., None] if img.ndim == 3 else w)
     return out
@@ -201,6 +230,9 @@ class Rotate(Transform):
         super().__init__(p=p)
         self.limit = (limit, -limit) if isinstance(limit, (int, float)) \
             else tuple(limit)
+        assert border_mode in (0, 1, 2, 4), (
+            f"unsupported cv2 border_mode {border_mode}")
+        self.border_mode = int(border_mode)
         self.fill = fill
         self.fill_mask = fill_mask
 
@@ -213,10 +245,12 @@ class Rotate(Transform):
         # the CCW forward map (verified against cv2.getRotationMatrix2D)
         inv = jnp.array([[c, s], [-s, c]])
         center = ((img.shape[0] - 1) / 2.0, (img.shape[1] - 1) / 2.0)
-        img = _affine_sample(img, inv, center, self.fill)
+        img = _affine_sample(img, inv, center, self.fill,
+                             border_mode=self.border_mode)
         if mask is not None:
             mask = _affine_sample(mask, inv, center, self.fill_mask,
-                                  nearest=True)
+                                  nearest=True,
+                                  border_mode=self.border_mode)
         return img, mask
 
 

@@ -241,7 +241,10 @@ def test_warm_scheduler_reference_args():
                        start_lr=0.002, end_lr=0.01)
     assert abs(float(s2.lr_at_epoch(0, base)) - 0.002) < 1e-7
     assert abs(float(s2.lr_at_epoch(1, base)) - 0.006) < 1e-7
-    assert abs(float(s2.lr_at_epoch(2, base)) - 0.01) < 1e-7
+    # once iters >= warmup_iters the reference returns base_lrs, even when
+    # end_lr != base lr (lr_update.py:74-79)
+    assert abs(float(s2.lr_at_epoch(2, base)) - base) < 1e-7
+    assert abs(float(s2.lr_at_epoch(9, base)) - base) < 1e-7
 
 
 def test_schedulers_match_torch():

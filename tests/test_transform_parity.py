@@ -150,3 +150,40 @@ def test_motion_blur_direction_ramp_and_shift(img32):
     f = img32[0].astype(np.float32)
     assert float(jnp.var(out)) < f.var()
     assert abs(float(jnp.mean(out)) - f.mean()) < 5.0
+
+
+@pytest.mark.parametrize("border_mode,cv2_mode", [
+    (4, cv2.BORDER_REFLECT_101), (2, cv2.BORDER_REFLECT),
+    (1, cv2.BORDER_REPLICATE)])
+def test_rotate_border_modes_match_cv2(rng, border_mode, cv2_mode):
+    """Rotate must honor border_mode (albumentations default is 4 =
+    BORDER_REFLECT_101), not silently fill with black corners."""
+    img = rng.randint(0, 255, (33, 32, 3)).astype(np.uint8)
+    angle = 37.0
+    t = T.Rotate(limit=[angle, angle], border_mode=border_mode, p=1.0)
+    out, _ = t.apply(jax.random.PRNGKey(0),
+                     jnp.asarray(img, jnp.float32), None)
+    h, w = img.shape[:2]
+    M = cv2.getRotationMatrix2D(((w - 1) / 2.0, (h - 1) / 2.0), angle, 1.0)
+    ref = cv2.warpAffine(img.astype(np.float32), M, (w, h),
+                         flags=cv2.INTER_LINEAR, borderMode=cv2_mode)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2.0)
+
+
+def test_rotate_mask_border_modes_match_cv2(rng):
+    mask = rng.randint(0, 3, (32, 32)).astype(np.float32)
+    img = rng.rand(32, 32, 3).astype(np.float32)
+    t = T.Rotate(limit=[25.0, 25.0], border_mode=4, p=1.0)
+    _, out_mask = t.apply(jax.random.PRNGKey(0), jnp.asarray(img),
+                          jnp.asarray(mask))
+    M = cv2.getRotationMatrix2D((15.5, 15.5), 25.0, 1.0)
+    ref = cv2.warpAffine(mask, M, (32, 32), flags=cv2.INTER_NEAREST,
+                         borderMode=cv2.BORDER_REFLECT_101)
+    # nearest-neighbor rounding at exact .5 source coordinates may differ
+    agree = (np.asarray(out_mask) == ref).mean()
+    assert agree > 0.98, f"mask agreement {agree:.3f}"
+
+
+def test_rotate_rejects_unsupported_border_mode():
+    with pytest.raises(AssertionError):
+        T.Rotate(limit=[10, 10], border_mode=3, p=1.0)

@@ -200,7 +200,8 @@ def main():
                             key=lambda p: p.stat().st_mtime,
                             reverse=True) if base.exists() else []
         for cand in candidates:
-            if cand != save_dir and (cand / "weights" / "last.pth").is_file():
+            # orbax backends save last.pth as a *directory* — accept both
+            if cand != save_dir and (cand / "weights" / "last.pth").exists():
                 resume_path = cand / "weights" / "last.pth"
                 prior_best_pth = cand / "weights" / "best.pth"
                 break
@@ -253,11 +254,19 @@ def main():
     # resuming must not let a worse epoch clobber the prior run's best
     seed_best = prior_best_pth if prior_best_pth is not None else (
         Path(resume_path).parent / "best.pth" if resume_path else None)
-    if seed_best is not None and Path(seed_best).is_file():
-        import pickle
-        with open(seed_best, "rb") as f:
-            best_fits = float(pickle.load(f).get("metadata", {})
-                              .get("fits", float("inf")))
+    if seed_best is not None and Path(seed_best).exists():
+        seed_best = Path(seed_best)
+        meta_sidecar = seed_best / "metadata.pkl"  # orbax dir layout
+        if meta_sidecar.is_file():  # skip restoring the arrays for one float
+            import pickle
+            with open(meta_sidecar, "rb") as f:
+                meta = pickle.load(f)
+        else:
+            # _load_file reads both pickle checkpoints and orbax directories
+            from image_segmentation_lab_tpu.core.initialize.checkpoint import \
+                _load_file
+            meta = _load_file(seed_best).get("metadata", {})
+        best_fits = float(meta.get("fits", float("inf")))
         print(f"prior best fits={best_fits:.4f} (from {seed_best})")
 
     for epoch in range(start_epoch, epochs):
