@@ -27,14 +27,23 @@ import numpy as np
 from flax import linen as nn
 
 
-def _bilinear_1d_weights(in_size: int, out_size: int, align_corners: bool):
-    """Static gather indices + lerp weights for one spatial axis."""
+def _bilinear_1d_weights(in_size: int, out_size: int, align_corners: bool,
+                         scale: Optional[float] = None):
+    """Static gather indices + lerp weights for one spatial axis.
+
+    ``scale``: when the caller was given a ``scale_factor`` (not a size),
+    torch maps coordinates with ``src = (dst+0.5)/scale - 0.5`` using the
+    *user's* scale, not the realized in/out size ratio — they differ when
+    ``in_size*scale`` is fractional (e.g. 17 → 8 at scale 0.5 uses step 2.0,
+    not 17/8).  align_corners=True ignores the scale, like torch.
+    """
     dst = np.arange(out_size, dtype=np.float64)
     if align_corners:
-        scale = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
-        src = dst * scale
+        step = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        src = dst * step
     else:
-        src = np.maximum((dst + 0.5) * in_size / out_size - 0.5, 0.0)
+        step = (1.0 / scale) if scale else in_size / out_size
+        src = np.maximum((dst + 0.5) * step - 0.5, 0.0)
     i0 = np.floor(src).astype(np.int32)
     i0 = np.minimum(i0, in_size - 1)
     i1 = np.minimum(i0 + 1, in_size - 1)
@@ -42,10 +51,11 @@ def _bilinear_1d_weights(in_size: int, out_size: int, align_corners: bool):
     return i0, i1, w1
 
 
-def _interp_matrix(in_size: int, out_size: int,
-                   align_corners: bool) -> np.ndarray:
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool,
+                   scale: Optional[float] = None) -> np.ndarray:
     """Dense (out, in) interpolation matrix (≤2 nonzeros per row)."""
-    i0, i1, w1 = _bilinear_1d_weights(in_size, out_size, align_corners)
+    i0, i1, w1 = _bilinear_1d_weights(in_size, out_size, align_corners,
+                                      scale)
     M = np.zeros((out_size, in_size), np.float32)
     rows = np.arange(out_size)
     np.add.at(M, (rows, i0), 1.0 - w1)
@@ -56,7 +66,9 @@ def _interp_matrix(in_size: int, out_size: int,
 def resize_bilinear(x: jnp.ndarray,
                     size: Tuple[int, int],
                     align_corners: bool = False,
-                    method: str = "auto") -> jnp.ndarray:
+                    method: str = "auto",
+                    scales: Optional[Tuple[float, float]] = None
+                    ) -> jnp.ndarray:
     """Bilinear resize of NHWC ``x`` to ``size=(h, w)`` with torch semantics.
 
     Two lowering strategies, numerically identical weights:
@@ -79,10 +91,11 @@ def resize_bilinear(x: jnp.ndarray,
     xf = x.astype(jnp.float32)
     if method == "auto":
         method = "matmul" if jax.default_backend() == "tpu" else "gather"
+    sh, sw = scales if scales is not None else (None, None)
 
     if method == "matmul":
-        Mh = jnp.asarray(_interp_matrix(H, h, align_corners))
-        Mw = jnp.asarray(_interp_matrix(W, w, align_corners))
+        Mh = jnp.asarray(_interp_matrix(H, h, align_corners, sh))
+        Mw = jnp.asarray(_interp_matrix(W, w, align_corners, sw))
         # (h,H)·(N,H,W,C) over H, then (w,W)·(N,h,W,C) over W
         xf = jnp.einsum("oh,nhwc->nowc", Mh, xf,
                         precision=jax.lax.Precision.HIGHEST)
@@ -90,24 +103,33 @@ def resize_bilinear(x: jnp.ndarray,
                         precision=jax.lax.Precision.HIGHEST)
         return xf.astype(orig_dtype)
 
-    i0, i1, wh = _bilinear_1d_weights(H, h, align_corners)
+    i0, i1, wh = _bilinear_1d_weights(H, h, align_corners, sh)
     wh = wh[None, :, None, None]
     xf = jnp.take(xf, i0, axis=1) * (1 - wh) + jnp.take(xf, i1, axis=1) * wh
 
-    j0, j1, ww = _bilinear_1d_weights(W, w, align_corners)
+    j0, j1, ww = _bilinear_1d_weights(W, w, align_corners, sw)
     ww = ww[None, None, :, None]
     xf = jnp.take(xf, j0, axis=2) * (1 - ww) + jnp.take(xf, j1, axis=2) * ww
     return xf.astype(orig_dtype)
 
 
-def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """Nearest resize with torch's legacy ``floor(dst*scale)`` rule."""
+def resize_nearest(x: jnp.ndarray, size: Tuple[int, int],
+                   scales: Optional[Tuple[float, float]] = None
+                   ) -> jnp.ndarray:
+    """Nearest resize with torch's legacy ``floor(dst*step)`` rule; when a
+    user scale_factor is known the step is ``1/scale`` (see
+    _bilinear_1d_weights)."""
     N, H, W, C = x.shape
     h, w = size
     if (H, W) == (h, w):
         return x
-    rows = np.minimum(np.floor(np.arange(h) * H / h).astype(np.int32), H - 1)
-    cols = np.minimum(np.floor(np.arange(w) * W / w).astype(np.int32), W - 1)
+    sh, sw = scales if scales is not None else (None, None)
+    step_h = (1.0 / sh) if sh else H / h
+    step_w = (1.0 / sw) if sw else W / w
+    rows = np.minimum(np.floor(np.arange(h) * step_h).astype(np.int32),
+                      H - 1)
+    cols = np.minimum(np.floor(np.arange(w) * step_w).astype(np.int32),
+                      W - 1)
     return jnp.take(jnp.take(x, rows, axis=1), cols, axis=2)
 
 
@@ -120,11 +142,16 @@ def resize(input: jnp.ndarray,
     """``F.interpolate``-compatible resize on NHWC tensors
     (reference utils/ops.py:7-26 including the align_corners advisory)."""
     N, H, W, C = input.shape
+    scales = None
     if size is None:
         assert scale_factor is not None
         sf = (scale_factor, scale_factor) if not isinstance(
             scale_factor, (tuple, list)) else scale_factor
         size = (int(H * sf[0]), int(W * sf[1]))
+        # torch keeps the user's scale for the coordinate mapping
+        # (recompute_scale_factor default) — size ratio only when a size
+        # was given
+        scales = (float(sf[0]), float(sf[1]))
     size = tuple(int(s) for s in size)
 
     if warning and align_corners:
@@ -137,10 +164,11 @@ def resize(input: jnp.ndarray,
                 f"satisfy (out-1) % (in-1) == 0")
 
     if mode == "bilinear":
-        return resize_bilinear(input, size, bool(align_corners))
+        return resize_bilinear(input, size, bool(align_corners),
+                               scales=scales)
     if mode == "nearest":
         assert align_corners is None or align_corners is False
-        return resize_nearest(input, size)
+        return resize_nearest(input, size, scales=scales)
     raise ValueError(f"Unsupported resize mode {mode}")
 
 

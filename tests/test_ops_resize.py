@@ -49,3 +49,26 @@ def test_matmul_path_matches_gather(rng, align_corners):
     b = resize_bilinear(x, (5, 7), align_corners, method="matmul")
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("in_hw,sf", [((17, 17), 0.5), ((15, 21), 0.5),
+                                      ((11, 13), 2.0), ((17, 9), 0.25)])
+def test_scale_factor_uses_user_scale_like_torch(rng, in_hw, sf):
+    """F.interpolate(scale_factor=s) maps coordinates with step 1/s, NOT the
+    realized size ratio — they differ whenever in*s is fractional (e.g.
+    17 → 8 at s=0.5 steps by 2.0, not 17/8).  ICNet's 0.5x cascade hits
+    this on every odd feature size (reference icnet.py:152-165)."""
+    x = rng.randn(1, *in_hw, 3).astype(np.float32)
+    out = resize(jnp.asarray(x), scale_factor=sf, mode="bilinear",
+                 align_corners=False)
+    ref = TF.interpolate(torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+                         scale_factor=sf, mode="bilinear",
+                         align_corners=False)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), ref.numpy(),
+        rtol=1e-5, atol=1e-5)
+    outn = resize(jnp.asarray(x), scale_factor=sf, mode="nearest")
+    refn = TF.interpolate(torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+                          scale_factor=sf, mode="nearest")
+    np.testing.assert_array_equal(
+        np.transpose(np.asarray(outn), (0, 3, 1, 2)), refn.numpy())
