@@ -187,3 +187,70 @@ def test_rotate_mask_border_modes_match_cv2(rng):
 def test_rotate_rejects_unsupported_border_mode():
     with pytest.raises(AssertionError):
         T.Rotate(limit=[10, 10], border_mode=3, p=1.0)
+
+
+# --------- documented-approximation tolerance bounds (VERDICT r1 #9) ----
+def test_iso_noise_normal_vs_poisson_bound():
+    """ISONoise approximates Poisson(λ) with Normal(λ, √λ) clipped at 0
+    (transforms.py ISONoise docstring).  Pin the distribution gap at the λ
+    extremes the Kvasir pipeline produces (std(L)·intensity·255: λ≈2.5 at
+    intensity 0.1 on a flat-ish image, λ≈25 at intensity 0.5)."""
+    n = 200_000
+    for lam, mean_tol, std_tol, q_tol in ((2.5, 0.03, 0.10, 0.6),
+                                          (25.0, 0.01, 0.05, 1.0)):
+        normal_draw = np.maximum(
+            lam + np.sqrt(lam) * np.random.RandomState(0).randn(n), 0.0)
+        pois = np.random.RandomState(1).poisson(lam, n).astype(np.float64)
+        assert abs(normal_draw.mean() - pois.mean()) < mean_tol * lam
+        assert abs(normal_draw.std() - pois.std()) < std_tol * np.sqrt(lam)
+        for q in (25, 50, 75):
+            assert abs(np.percentile(normal_draw, q)
+                       - np.percentile(pois, q)) < q_tol
+
+
+def _sequential_glass_blur(img_f, sigma, max_delta, iterations, rs):
+    """imagecorruptions' exact algorithm: gaussian → sequential in-place
+    pixel SWAPS over a reversed raster scan → gaussian (the albumentations
+    backend).  Ours replaces the swaps with a parallel gather."""
+    r = max(int(4.0 * sigma + 0.5), 1)
+    k = 2 * r + 1
+    x = cv2.GaussianBlur(img_f, (k, k), sigma,
+                         borderType=cv2.BORDER_REFLECT_101)
+    H, W = x.shape[:2]
+    for _ in range(iterations):
+        for h in range(H - max_delta, max_delta, -1):
+            for w in range(W - max_delta, max_delta, -1):
+                dx, dy = rs.randint(-max_delta, max_delta, size=(2,))
+                hp, wp = h + dy, w + dx
+                x[h, w], x[hp, wp] = x[hp, wp].copy(), x[h, w].copy()
+    return cv2.GaussianBlur(x, (k, k), sigma,
+                            borderType=cv2.BORDER_REFLECT_101)
+
+
+def test_glass_blur_gather_vs_sequential_swap_bound(rng):
+    """Distribution-level parity bound for the documented parallel-gather
+    approximation: same first/second moments and comparable displacement
+    energy as the sequential-swap reference on the interior region."""
+    sigma, max_delta, iterations = 0.7, 2, 1
+    img = rng.randint(0, 255, (48, 48, 3)).astype(np.float32)
+    ours, _ = T.GlassBlur(sigma=sigma, max_delta=max_delta,
+                          iterations=iterations, p=1.0).apply(
+        jax.random.PRNGKey(0), jnp.asarray(img), None)
+    ours = np.asarray(ours)
+    ref = _sequential_glass_blur(img.copy(), sigma, max_delta, iterations,
+                                 np.random.RandomState(0))
+    m = max_delta + 3  # crop the border band the swap loop never visits
+    o, f = ours[m:-m, m:-m], ref[m:-m, m:-m]
+    assert abs(o.mean() - f.mean()) < 2.0            # 0-255 scale
+    # measured gap: the gather keeps ~10% more variance than the swap —
+    # sequential swaps chain (a pixel can move repeatedly), mixing harder
+    # before the final gaussian.  Pinned at 15%.
+    assert abs(o.std() / f.std() - 1.0) < 0.15
+    # displacement energy: how far the shuffle moved pixels off the
+    # plain gaussian baseline
+    base = cv2.GaussianBlur(cv2.GaussianBlur(
+        img, (7, 7), sigma, borderType=cv2.BORDER_REFLECT_101),
+        (7, 7), sigma, borderType=cv2.BORDER_REFLECT_101)[m:-m, m:-m]
+    e_ours = np.abs(o - base).mean()
+    e_ref = np.abs(f - base).mean()
+    assert 0.6 < e_ours / e_ref < 1.4, (e_ours, e_ref)
