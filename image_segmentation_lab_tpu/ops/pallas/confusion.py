@@ -5,17 +5,23 @@ vectors (intersection, prediction, label) that drive mIoU/mDice/mFscore
 (reference accumulates these with four ``torch.histc`` calls per image,
 metrics.py:246-265).
 
-**Measured outcome (v5e, in-jit amortized):** the jnp/XLA lowering runs
-0.7-0.8 ms for 8×640²/C=2 and 4×512²/C=19 — XLA lays pixels out along the
-128-lane axis and fuses argmax+compare+reduce into one pass.  The Pallas
-kernel here tiles pixels along *sublanes* with channels on lanes, which
-wastes 126/128 lanes at C=2 and measures 4-13 ms.  ``force='auto'``
-therefore selects the **jnp path everywhere**; the kernel is kept as a
-correct, tested (interpret-mode + on-device bit-parity) reference for a
-channel-on-lanes reduction and as the starting point for a pixel-on-lanes
-rewrite if eval ever becomes a bottleneck.  This is the expected division of
-labor on TPU: XLA owns layout-sensitive elementwise+reduce fusions; Pallas
-pays off for DMA orchestration and MXU micro-scheduling, not here.
+**Measured outcome (v5e, in-jit amortized, 32 calls/fetch):** two kernel
+layouts were built and raced against the jnp/XLA lowering:
+
+* channel-on-lanes (``_kernel`` below, pixels on sublanes / classes on
+  lanes): wastes 126/128 lanes at C=2 and loses badly — 4-13 ms vs XLA's
+  0.7-0.8 ms.  Kept as a tested reference for the losing layout.
+* **pixel-on-lanes** (``_hist_kernel``, every lane carries a pixel; XLA
+  argmax feeds a (TILE_S, 128) int32 tile stream accumulating a (3, C)
+  SMEM histogram): **beats XLA at eval-batch sizes** — 0.629 vs 0.677 ms
+  for 16×640²/C=2 and 1.063 vs 1.153 ms for 4×1024×2048/C=19 (7-8%),
+  bit-identical sums.  At sub-megapixel inputs both paths are <0.1 ms and
+  indistinguishable from tunnel noise.
+
+``force='auto'`` therefore picks the pixel-on-lanes kernel on TPU when the
+input is ≥2M pixels and the jnp path otherwise (CPU, tiny inputs).  The
+lesson matches the TPU playbook: the VPU win comes from putting the
+*reduction population* on lanes; layout is the kernel.
 """
 
 from __future__ import annotations
@@ -80,6 +86,64 @@ def _pallas_call(logits2d, gt2d, ignore_index: int, num_classes: int,
     )(logits2d, gt2d)
 
 
+TILE_S = 512  # sublane rows per grid step for the pixel-on-lanes kernel
+
+
+def _hist_kernel(pred_ref, gt_ref, out_ref, *, ignore_index: int,
+                 num_classes: int):
+    """Pixel-on-lanes fused 3-histogram: pred/gt tiles are (TILE_S, 128)
+    int32 — every lane carries a pixel (vs. the channel-on-lanes layout
+    above that wastes 126/128 lanes at C=2).  Scalar per-class sums
+    accumulate in an SMEM (3, C) output across sequential grid steps."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for r in range(3):
+            for c in range(num_classes):
+                out_ref[r, c] = 0.0
+
+    pred = pred_ref[:]
+    gt = gt_ref[:]
+    valid = (gt != ignore_index) & (gt >= 0) & (gt < num_classes)
+    eq = (pred == gt) & valid
+    for c in range(num_classes):
+        gc = (gt == c) & valid
+        pc = (pred == c) & valid
+        out_ref[0, c] += jnp.sum((gc & eq).astype(jnp.float32))
+        out_ref[1, c] += jnp.sum(pc.astype(jnp.float32))
+        out_ref[2, c] += jnp.sum(gc.astype(jnp.float32))
+
+
+def _hist_pallas(pred: jnp.ndarray, gt: jnp.ndarray, num_classes: int,
+                 ignore_index: int, interpret: bool = False):
+    """(3, num_classes) f32 from flat int32 pred/gt."""
+    P = pred.shape[0]
+    lane_rows = -(-P // LANE)
+    S = -(-lane_rows // TILE_S) * TILE_S
+    Pp = S * LANE
+    if Pp != P:
+        pred = jnp.pad(pred, (0, Pp - P))
+        gt = jnp.pad(gt, (0, Pp - P), constant_values=ignore_index)
+    pred2d = pred.reshape(S, LANE)
+    gt2d = gt.reshape(S, LANE)
+    return pl.pallas_call(
+        functools.partial(_hist_kernel, ignore_index=ignore_index,
+                          num_classes=num_classes),
+        grid=(S // TILE_S,),
+        in_specs=[
+            pl.BlockSpec((TILE_S, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_S, LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, num_classes), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((3, num_classes), jnp.float32),
+        interpret=interpret,
+    )(pred2d, gt2d)
+
+
 def confusion_histograms(logits: jnp.ndarray,
                          gt: jnp.ndarray,
                          num_classes: int,
@@ -88,12 +152,27 @@ def confusion_histograms(logits: jnp.ndarray,
     """(area_intersect, area_pred, area_label), each (num_classes,) f32.
 
     ``logits``: (..., C) scores; ``gt``: (...) int labels.  ``force`` in
-    {'auto', 'pallas', 'interpret', 'jnp'}.
+    {'auto', 'pallas', 'interpret', 'jnp', 'pallas_hist',
+    'interpret_hist'}.  'pallas_hist' = XLA argmax feeding the
+    pixel-on-lanes Pallas histogram kernel.
     """
     C = logits.shape[-1]
     assert C >= num_classes
     if force == "auto":
-        force = "jnp"  # measured faster than the kernel — see module doc
+        # pixel-on-lanes Pallas wins 7-8% at eval-batch sizes on TPU; below
+        # ~2M pixels both paths are <0.1 ms — see module doc for numbers
+        n_pixels = int(np.prod(gt.shape))
+        if jax.default_backend() == "tpu" and n_pixels >= (1 << 21):
+            force = "pallas_hist"
+        else:
+            force = "jnp"
+
+    if force in ("pallas_hist", "interpret_hist"):
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32).reshape(-1)
+        out = _hist_pallas(pred, gt.astype(jnp.int32).reshape(-1),
+                           num_classes, ignore_index,
+                           interpret=force == "interpret_hist")
+        return out[0], out[1], out[2]
 
     if force == "jnp":
         # out-of-range labels (classes-subset remap writes -1) are excluded

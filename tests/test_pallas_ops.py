@@ -48,3 +48,22 @@ def test_negative_labels_excluded_everywhere(rng):
         valid = int(np.sum(np.asarray(gt) >= 0))
         assert int(np.asarray(pred_h).sum()) == valid, force
         assert int(np.asarray(label_h).sum()) == valid, force
+
+
+@pytest.mark.parametrize("num_classes,ignore", [(2, 255), (19, 255),
+                                                (3, -1)])
+def test_pixel_on_lanes_hist_matches_jnp(rng, num_classes, ignore):
+    """The pixel-on-lanes rewrite (XLA argmax → Pallas (3,C) SMEM
+    histogram) must be bit-identical to the jnp path."""
+    logits = jnp.asarray(
+        rng.randn(2, 41, 23, num_classes).astype(np.float32))
+    gt = rng.randint(0, num_classes, (2, 41, 23))
+    gt[0, :7] = ignore
+    gt[1, 3, :4] = num_classes + 3  # out-of-range → dropped everywhere
+    gt = jnp.asarray(gt)
+    ref = confusion_histograms(logits, gt, num_classes, ignore, force="jnp")
+    out = confusion_histograms(logits, gt, num_classes, ignore,
+                               force="interpret_hist")
+    for a, b, name in zip(out, ref, ("inter", "pred", "label")):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
