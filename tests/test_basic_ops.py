@@ -40,6 +40,42 @@ def test_conv2d_matches_torch(rng, stride, padding, dilation, groups):
                                ref.numpy(), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("hw,dilation", [
+    ((40, 40), 12), ((40, 40), 24), ((40, 40), 36),   # flagship ASPP @ d8
+    ((40, 40), 45),                                   # taps fully outside
+    ((13, 11), 5),
+])
+def test_dilated_slab_conv_matches_torch(rng, hw, dilation):
+    """The large-dilation slab decomposition (ops/dilated_conv) must equal
+    torch's dense dilated conv; padding=dilation is the ASPP configuration
+    (reference models/decode_heads/aspp_head.py:31-43)."""
+    from image_segmentation_lab_tpu.ops.dilated_conv import worth_it
+    h, w = hw
+    assert worth_it(h, w, dilation), "gate must select the slab path here"
+    x = rng.randn(2, h, w, 8).astype(np.float32)
+    conv = Conv2d(8, 16, 3, stride=1, padding=dilation,
+                  dilation=dilation, bias=True)
+    variables = conv.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = conv.apply(variables, jnp.asarray(x))
+
+    wgt = np.asarray(variables["params"]["weight"])  # HWIO
+    b = np.asarray(variables["params"]["bias"])
+    wt = torch.tensor(np.transpose(wgt, (3, 2, 0, 1)))  # OIHW
+    ref = TF.conv2d(torch.tensor(to_nchw(x)), wt, torch.tensor(b),
+                    stride=1, padding=dilation, dilation=dilation)
+    np.testing.assert_allclose(np.transpose(np.asarray(out), (0, 3, 1, 2)),
+                               ref.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_slab_gate_skips_small_dilation():
+    from image_segmentation_lab_tpu.ops.dilated_conv import worth_it
+    assert not worth_it(40, 40, 1)     # plain conv
+    assert not worth_it(40, 40, 2)     # backbone d8 stage 3
+    assert not worth_it(80, 80, 4)     # backbone d8 stage 4 @ 640
+    assert worth_it(40, 40, 12)        # ASPP branches @ 512/320-crop
+    assert worth_it(80, 80, 24)        # ASPP @ 640
+
+
 def test_batchnorm_train_and_eval_match_torch(rng):
     x = rng.randn(4, 5, 6, 3).astype(np.float32)
     bn = BatchNorm2d(3, eps=1e-5, momentum=0.1)
