@@ -50,45 +50,75 @@ def build_model_and_vars(quick: bool):
     img = jnp.zeros((1, 512, 512, 3), jnp.float32)
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, img, method="inference")
+    # jit the init off-CPU: eager init runs op-by-op over the axon tunnel
+    # (measured 180 s for the flagship; one compiled program is ~4x faster)
+    init = lambda r, x: model.init(r, x, method="inference")  # noqa: E731
+    if jax.default_backend() != "cpu":
+        init = jax.jit(init)
+    variables = init(rngs, img)
     return model, variables
 
 
-def measure(model, variables, batch: int, iters: int, warmup: int = 2):
-    """Throughput (img/s) and p50 latency (s) of jitted slide inference."""
+def _rtt(x, repeats: int = 3) -> float:
+    """Median time of a no-op jit + scalar fetch (tunnel round-trip)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    # NOTE: we reduce the output to a scalar inside the jit and fetch it to
-    # host every iteration — on the tunneled 'axon' TPU platform,
-    # block_until_ready() returns before remote execution finishes, which
-    # silently measures dispatch (observed 12x above hardware peak).  A
-    # host fetch of a value cannot complete before the computation does.
-    fn = jax.jit(lambda v, x: model.apply(v, x, method="inference").sum())
-    imgs = [jnp.asarray(np.random.RandomState(i).randn(batch, 512, 512, 3),
-                        jnp.float32) for i in range(4)]
-    for i in range(warmup):
-        float(fn(variables, imgs[i % len(imgs)]))
-    times = []
-    for i in range(iters):
-        x = imgs[i % len(imgs)]
+    noop = jax.jit(lambda x: x.sum().astype(jnp.float32))
+    float(noop(x))
+    ts = []
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        float(fn(variables, x))
-        times.append(time.perf_counter() - t0)
-    times = np.asarray(times)
-    # median: each timed call includes a tunnel round-trip whose latency
-    # swings by tens of ms between runs; the median is robust to those spikes
-    throughput = batch / float(np.median(times))
-    # p50 per-image latency measured at batch=1
-    x1 = imgs[0][:1]
-    float(fn(variables, x1))
-    lat = []
-    for i in range(max(iters, 5)):
+        float(noop(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def measure(model, variables, batch: int, iters: int, repeats: int = 3):
+    """Throughput (img/s) and p50 latency (s) of jitted slide inference.
+
+    ``iters`` inference steps run inside ONE jit (``lax.fori_loop``, each
+    step's input perturbed by the running scalar so XLA cannot CSE them) and
+    a single scalar comes back to host.  On the tunneled 'axon' platform a
+    per-step host fetch costs a ~30 ms round trip (and
+    ``block_until_ready`` returns before remote execution finishes, so it
+    cannot be used either) — amortizing over ``iters`` steps and
+    subtracting the measured no-op round-trip yields the device-rate a
+    co-located host would see.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def loop(v, x, k):
+        def body(i, acc):
+            out = model.apply(v, x + (acc * 1e-30).astype(x.dtype),
+                              method="inference")
+            return acc + out.sum().astype(jnp.float32) * 1e-30 + 1.0
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    run = jax.jit(loop, static_argnums=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(batch, 512, 512, 3),
+                    jnp.float32)
+    rtt = _rtt(x)
+    float(run(variables, x, iters))  # compile + warm
+    ts = []
+    for _ in range(repeats):
         t0 = time.perf_counter()
-        float(fn(variables, x1))
-        lat.append(time.perf_counter() - t0)
-    p50 = float(np.percentile(lat, 50))
+        float(run(variables, x, iters))
+        ts.append(time.perf_counter() - t0)
+    step = max((float(np.median(ts)) - rtt) / iters, 1e-9)
+    throughput = batch / step
+    # p50 per-image latency: single-image steps, amortized the same way
+    x1 = x[:1]
+    float(run(variables, x1, iters))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(run(variables, x1, iters))
+        ts.append(time.perf_counter() - t0)
+    p50 = max((float(np.median(ts)) - rtt) / iters, 1e-9)
     return float(throughput), p50
 
 
@@ -111,13 +141,22 @@ def measure_train(model, batch: int, iters: int) -> float:
                                                       (batch, 512, 512)))
     state = create_train_state(model, rng, img[:1], gt[:1], tx)
     step = make_train_step(model, tx)
-    state, lv = step(state, img, gt, rng)
-    float(lv["loss"])  # force completion of the warmup/compile step
+
+    # iters steps inside one jit, single scalar fetch (see measure())
+    def loop(state, img, gt, rng, k):
+        def body(i, carry):
+            state, acc = carry
+            state, lv = step(state, img, gt, jax.random.fold_in(rng, i))
+            return state, acc + lv["loss"].astype(jnp.float32) * 1e-30
+        return jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))[1]
+
+    run = jax.jit(loop, static_argnums=4)
+    rtt = _rtt(gt)
+    float(run(state, img, gt, rng, iters))  # compile + warm
     t0 = time.perf_counter()
-    for i in range(iters):
-        state, lv = step(state, img, gt, jax.random.fold_in(rng, i))
-        float(lv["loss"])
-    return batch * iters / (time.perf_counter() - t0)
+    float(run(state, img, gt, rng, iters))
+    t = max(time.perf_counter() - t0 - rtt, 1e-9)
+    return batch * iters / t
 
 
 def main():
@@ -149,8 +188,9 @@ def main():
 
     model, variables = build_model_and_vars(args.quick)
     batch = 2 if args.quick else args.batch
-    iters = 3 if args.quick else args.iters
-    throughput, p50 = measure(model, variables, batch, iters)
+    iters = 2 if args.quick else args.iters
+    throughput, p50 = measure(model, variables, batch, iters,
+                              repeats=1 if args.quick else 3)
 
     # CPU baseline (cached, keyed by model depth so a --quick depth-18 run
     # never reuses a depth-50 baseline or vice versa)
@@ -172,7 +212,7 @@ def main():
         with jax.default_device(cpu_dev):
             set_policy("fp32")
             m2, v2 = build_model_and_vars(args.quick)
-            cpu_tp, _ = measure(m2, v2, batch=1, iters=2, warmup=1)
+            cpu_tp, _ = measure(m2, v2, batch=1, iters=2, repeats=1)
         cpu_ips = cpu_tp
         cached.setdefault("entries", {})[str(depth)] = {
             "cpu_images_per_sec": cpu_ips,
@@ -186,7 +226,7 @@ def main():
     train_ips = None
     if not args.no_train_bench:
         train_ips = measure_train(model, batch=2 if args.quick else 16,
-                                  iters=2 if args.quick else max(iters, 5))
+                                  iters=1 if args.quick else max(iters, 5))
 
     result = {
         "metric": METRIC,

@@ -25,6 +25,8 @@ d8 stages, d=2/4) keep the native conv path.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 
 _TAPS = [(ky, kx) for ky in (-1, 0, 1) for kx in (-1, 0, 1)
@@ -40,7 +42,12 @@ def slab_macs_ratio(h: int, w: int, d: int) -> float:
 
 def worth_it(h: int, w: int, d: int, threshold: float = 0.8) -> bool:
     """True when the decomposition saves enough MACs to beat the extra
-    scatter-add traffic (measured crossover is well above 0.8)."""
+    scatter-add traffic (measured crossover is well above 0.8).
+
+    ``ISLT_NO_SLAB_CONV=1`` disables the path entirely (escape hatch /
+    A-B harness)."""
+    if os.environ.get("ISLT_NO_SLAB_CONV"):
+        return False
     return d > 1 and slab_macs_ratio(h, w, d) <= threshold
 
 

@@ -55,10 +55,21 @@ def parse_losses(losses: Dict[str, jnp.ndarray]) -> Tuple[jnp.ndarray, Dict]:
 
 def create_train_state(model, rng, sample_img, sample_gt,
                        tx: optax.GradientTransformation) -> TrainState:
-    """Initialize variables + optimizer state."""
+    """Initialize variables + optimizer state.
+
+    On non-CPU backends the flax init runs under jit: eager init executes
+    op-by-op, which on a remote (tunneled) device pays a round trip per op
+    (measured 180 s for the flagship on axon) — one compiled program
+    instead.  On CPU eager is faster than compiling."""
     rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
-    variables = model.init(rngs, sample_img, sample_gt, img_metas={},
-                           rescale=False, return_loss=True, train=True)
+
+    def _init(r, i, g):
+        return model.init(r, i, g, img_metas={}, rescale=False,
+                          return_loss=True, train=True)
+
+    if jax.default_backend() != "cpu":
+        _init = jax.jit(_init)
+    variables = _init(rngs, sample_img, sample_gt)
     params = variables.get("params", {})
     return TrainState(
         step=jnp.zeros((), jnp.int32),
