@@ -42,7 +42,10 @@ def slab_macs_ratio(h: int, w: int, d: int) -> float:
 
 def worth_it(h: int, w: int, d: int, threshold: float = 0.8) -> bool:
     """True when the decomposition saves enough MACs to beat the extra
-    scatter-add traffic (measured crossover is well above 0.8).
+    scatter-add traffic.  Empirical: raising the threshold to 0.95 (which
+    pulls in the backbone's d=2/4 stages, MAC ratios 0.93/0.87) makes the
+    R50-d8 backbone 28% SLOWER (178 vs 139 ms on the 256-window batch) —
+    the native conv wins when most taps do real work.
 
     ``ISLT_NO_SLAB_CONV=1`` disables the path entirely (escape hatch /
     A-B harness)."""

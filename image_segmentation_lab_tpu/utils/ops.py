@@ -52,15 +52,23 @@ def _bilinear_1d_weights(in_size: int, out_size: int, align_corners: bool,
 
 
 def _interp_matrix(in_size: int, out_size: int, align_corners: bool,
-                   scale: Optional[float] = None) -> np.ndarray:
-    """Dense (out, in) interpolation matrix (≤2 nonzeros per row)."""
+                   scale: Optional[float] = None) -> jnp.ndarray:
+    """Dense (out, in) interpolation matrix (≤2 nonzeros per row).
+
+    Built ON DEVICE from the (small) per-row index/weight vectors rather
+    than baked in as an (out×in) f32 literal: a 640→800 matrix is a 2 MB
+    constant, and a multi-view TTA graph accumulates tens of them — enough
+    to exceed the remote-compile request limit of a tunneled TPU backend
+    (observed HTTP 413).  i0==i1 at the edges sums (1-w)+w = 1 exactly like
+    the scatter-add construction this replaces."""
     i0, i1, w1 = _bilinear_1d_weights(in_size, out_size, align_corners,
                                       scale)
-    M = np.zeros((out_size, in_size), np.float32)
-    rows = np.arange(out_size)
-    np.add.at(M, (rows, i0), 1.0 - w1)
-    np.add.at(M, (rows, i1), w1)
-    return M
+    i0 = jnp.asarray(i0)
+    i1 = jnp.asarray(i1)
+    w1 = jnp.asarray(w1)
+    cols = jnp.arange(in_size, dtype=jnp.int32)
+    return ((cols[None, :] == i0[:, None]) * (1.0 - w1)[:, None]
+            + (cols[None, :] == i1[:, None]) * w1[:, None])
 
 
 def resize_bilinear(x: jnp.ndarray,
@@ -94,8 +102,8 @@ def resize_bilinear(x: jnp.ndarray,
     sh, sw = scales if scales is not None else (None, None)
 
     if method == "matmul":
-        Mh = jnp.asarray(_interp_matrix(H, h, align_corners, sh))
-        Mw = jnp.asarray(_interp_matrix(W, w, align_corners, sw))
+        Mh = _interp_matrix(H, h, align_corners, sh)
+        Mw = _interp_matrix(W, w, align_corners, sw)
         # (h,H)·(N,H,W,C) over H, then (w,W)·(N,h,W,C) over W
         xf = jnp.einsum("oh,nhwc->nowc", Mh, xf,
                         precision=jax.lax.Precision.HIGHEST)
