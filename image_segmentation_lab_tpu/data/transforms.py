@@ -181,28 +181,103 @@ def _border_index(i, n, border_mode):
     raise AssertionError(f"unsupported cv2 border_mode {border_mode}")
 
 
+def _pad_border(img, py: int, px: int, border_mode: int, fill):
+    """Extend ``img`` by (py, px) on each side per the cv2 border mode.
+
+    Returns None when the mode can't be realized as a single jnp.pad
+    (reflect pads wider than size-1 need the periodic extension, which
+    chunked padding does NOT reproduce) — callers fall back to per-tap
+    index mapping."""
+    spatial = ((py, py), (px, px)) + (((0, 0),) if img.ndim == 3 else ())
+    if border_mode == 0:
+        return jnp.pad(img, spatial, constant_values=fill)
+    if border_mode == 1:
+        return jnp.pad(img, spatial, mode="edge")
+    mode = "symmetric" if border_mode == 2 else "reflect"
+    lim = 1 if mode == "symmetric" else 2  # np reflect needs size-1 ≥ pad
+    if py > img.shape[0] - lim or px > img.shape[1] - lim:
+        return None
+    return jnp.pad(img, spatial, mode=mode)
+
+
+def _gather_patches(padded, y0, x0, size: int):
+    """All (size,size[,C]) patches of ``padded`` at start coords (y0, x0)
+    in ONE XLA gather — the TPU-side cost of an arbitrary 2-D warp is the
+    per-index slice count, so one patch gather beats 4 per-tap gathers
+    (measured 174 → 36 ms for 8×640² Rotate)."""
+    chan = padded.ndim == 3
+    hp, wp = padded.shape[0], padded.shape[1]
+    starts = jnp.stack([jnp.clip(y0, 0, hp - size),
+                        jnp.clip(x0, 0, wp - size)], axis=-1)
+    starts = starts.reshape(-1, 2)
+    if chan:
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        sizes = (size, size, padded.shape[2])
+    else:
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1, 2), collapsed_slice_dims=(),
+            start_index_map=(0, 1))
+        sizes = (size, size)
+    out = jax.lax.gather(
+        padded, starts, dnums, sizes,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+    return out.reshape(y0.shape + sizes)
+
+
 def _affine_sample(img, inv_matrix, center, fill, nearest=False,
                    border_mode=0):
     """Sample img at inverse-affine-transformed coordinates (H,W grid).
 
     ``border_mode`` follows cv2: 0=constant(fill), 1=replicate, 2=reflect,
     4=reflect_101 (albumentations' Rotate default).
+
+    The border is realized by STATICALLY padding the source out to the
+    output grid's corner radius (the farthest any rotation can sample),
+    after which all four bilinear taps of a pixel are one contiguous 2x2
+    patch — fetched by a single gather (see ``_gather_patches``).  Values
+    are identical to per-tap border-mapped lookups.
     """
     H, W = img.shape[0], img.shape[1]
+    chan = img.ndim == 3
     ys = jnp.arange(H, dtype=jnp.float32) - center[0]
     xs = jnp.arange(W, dtype=jnp.float32) - center[1]
     yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
     src_y = inv_matrix[0, 0] * yy + inv_matrix[0, 1] * xx + center[0]
     src_x = inv_matrix[1, 0] * yy + inv_matrix[1, 1] * xx + center[1]
 
+    rad = math.hypot((H - 1) / 2.0, (W - 1) / 2.0)
+    py = max(int(math.ceil(rad - (H - 1) / 2.0)) + 2, 2)
+    px = max(int(math.ceil(rad - (W - 1) / 2.0)) + 2, 2)
+    padded = _pad_border(img, py, px, border_mode, fill)
+    if padded is not None:
+        if nearest:
+            p = _gather_patches(padded,
+                                jnp.round(src_y).astype(jnp.int32) + py,
+                                jnp.round(src_x).astype(jnp.int32) + px, 1)
+            return p[..., 0, 0, :] if chan else p[..., 0, 0]
+        y0 = jnp.floor(src_y).astype(jnp.int32)
+        x0 = jnp.floor(src_x).astype(jnp.int32)
+        wy = src_y - y0
+        wx = src_x - x0
+        p = _gather_patches(padded, y0 + py, x0 + px, 2)
+        out = 0.0
+        # accumulation order matches the per-tap loop below exactly
+        for dy, wyy in ((0, 1 - wy), (1, wy)):
+            for dx, wxx in ((0, 1 - wx), (1, wx)):
+                v = p[:, :, dy, dx, :] if chan else p[:, :, dy, dx]
+                w = wyy * wxx
+                out = out + v * (w[..., None] if chan else w)
+        return out
+
+    # fallback for extreme aspect ratios where a reflect pad would need the
+    # periodic extension: per-tap border-mapped gathers (slow path)
     def lookup(iy, ix):
-        """Fetch img[iy, ix] honoring the border mode; returns (value,
-        weight-mask) where the mask is 0 outside for constant borders."""
         if border_mode == 0:
             inb = (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
             v = img[jnp.clip(iy, 0, H - 1), jnp.clip(ix, 0, W - 1)]
-            return jnp.where(inb[..., None] if img.ndim == 3 else inb,
-                             v, fill)
+            return jnp.where(inb[..., None] if chan else inb, v, fill)
         return img[_border_index(iy, H, border_mode),
                    _border_index(ix, W, border_mode)]
 
@@ -218,8 +293,60 @@ def _affine_sample(img, inv_matrix, center, fill, nearest=False,
         for dx, wxx in ((0, 1 - wx), (1, wx)):
             v = lookup(y0 + dy, x0 + dx)
             w = (wyy * wxx)
-            out = out + v * (w[..., None] if img.ndim == 3 else w)
+            out = out + v * (w[..., None] if chan else w)
     return out
+
+
+def _affine_sample_pair(img, mask, inv_matrix, center, fill, fill_mask,
+                        border_mode):
+    """Bilinear-warp ``img`` and nearest-warp ``mask`` with ONE patch
+    gather: the mask rides as a 4th channel (padded with its own fill) and
+    its nearest tap is selected from the same 2x2 patch with exact
+    ``jnp.round`` (round-half-even) semantics.  Falls back to two
+    ``_affine_sample`` calls when the border pad can't be materialized.
+    """
+    H, W = img.shape[0], img.shape[1]
+    rad = math.hypot((H - 1) / 2.0, (W - 1) / 2.0)
+    py = max(int(math.ceil(rad - (H - 1) / 2.0)) + 2, 2)
+    px = max(int(math.ceil(rad - (W - 1) / 2.0)) + 2, 2)
+    p_img = _pad_border(img, py, px, border_mode, fill)
+    p_mask = _pad_border(mask, py, px, border_mode, fill_mask)
+    if p_img is None or p_mask is None:
+        return (_affine_sample(img, inv_matrix, center, fill,
+                               border_mode=border_mode),
+                _affine_sample(mask, inv_matrix, center, fill_mask,
+                               nearest=True, border_mode=border_mode))
+    stacked = jnp.concatenate(
+        [p_img, p_mask[..., None].astype(p_img.dtype)], axis=-1)
+
+    ys = jnp.arange(H, dtype=jnp.float32) - center[0]
+    xs = jnp.arange(W, dtype=jnp.float32) - center[1]
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    src_y = inv_matrix[0, 0] * yy + inv_matrix[0, 1] * xx + center[0]
+    src_x = inv_matrix[1, 0] * yy + inv_matrix[1, 1] * xx + center[1]
+    y0 = jnp.floor(src_y).astype(jnp.int32)
+    x0 = jnp.floor(src_x).astype(jnp.int32)
+    wy = src_y - y0
+    wx = src_x - x0
+    p = _gather_patches(stacked, y0 + py, x0 + px, 2)
+
+    out = 0.0
+    for dy, wyy in ((0, 1 - wy), (1, wy)):
+        for dx, wxx in ((0, 1 - wx), (1, wx)):
+            out = out + p[:, :, dy, dx, :-1] * (wyy * wxx)[..., None]
+
+    def round_up(frac, base):
+        # jnp.round(base + frac) == base + round_up: half rounds to even
+        return (frac > 0.5) | ((frac == 0.5) & (base % 2 != 0))
+
+    sy = round_up(wy, y0).astype(jnp.int32)
+    sx = round_up(wx, x0).astype(jnp.int32)
+    m_out = jnp.where(sy == 0,
+                      jnp.where(sx == 0, p[:, :, 0, 0, -1],
+                                p[:, :, 0, 1, -1]),
+                      jnp.where(sx == 0, p[:, :, 1, 0, -1],
+                                p[:, :, 1, 1, -1]))
+    return out, m_out.astype(mask.dtype)
 
 
 class Rotate(Transform):
@@ -245,13 +372,11 @@ class Rotate(Transform):
         # the CCW forward map (verified against cv2.getRotationMatrix2D)
         inv = jnp.array([[c, s], [-s, c]])
         center = ((img.shape[0] - 1) / 2.0, (img.shape[1] - 1) / 2.0)
-        img = _affine_sample(img, inv, center, self.fill,
-                             border_mode=self.border_mode)
         if mask is not None:
-            mask = _affine_sample(mask, inv, center, self.fill_mask,
-                                  nearest=True,
-                                  border_mode=self.border_mode)
-        return img, mask
+            return _affine_sample_pair(img, mask, inv, center, self.fill,
+                                       self.fill_mask, self.border_mode)
+        return _affine_sample(img, inv, center, self.fill,
+                              border_mode=self.border_mode), None
 
 
 class RandomCrop(Transform):
@@ -514,24 +639,44 @@ class GlassBlur(Transform):
         r = max(int(4.0 * self.sigma + 0.5), 1)
         xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
         g = jnp.exp(-0.5 * (xs / self.sigma) ** 2)
-        kernel = g[:, None] * g[None, :]
-        return kernel / kernel.sum()
+        return g / g.sum()
+
+    def _blur(self, img):
+        """Separable gaussian: two 1-D depthwise convs.  scipy's
+        gaussian_filter is itself separable, so this matches the
+        reference numerics; the dense (2r+1)² kernel at σ=2.5 (21×21) was
+        the pipeline's #2 cost (3-lane depthwise conv, 441 taps → 42)."""
+        g = self._gauss_kernel()
+        return _depthwise_blur(_depthwise_blur(img, g[:, None]),
+                               g[None, :])
 
     def apply(self, key, img, mask):
         H, W = img.shape[0], img.shape[1]
-        kernel = self._gauss_kernel()
+        d = self.max_delta
         # imagecorruptions glass_blur: gaussian FIRST, then displacement
         # rounds, then a final gaussian
-        out = _depthwise_blur(img, kernel)
+        out = self._blur(img)
         for i in range(self.iterations):
             k = jax.random.fold_in(key, i)
             # np.random.randint has an exclusive high bound: [-d, d)
-            dy, dx = jax.random.randint(k, (2, H, W), -self.max_delta,
-                                        self.max_delta)
-            iy = jnp.clip(jnp.arange(H)[:, None] + dy, 0, H - 1)
-            ix = jnp.clip(jnp.arange(W)[None, :] + dx, 0, W - 1)
-            out = out[iy, ix]
-        return _depthwise_blur(out, kernel), mask
+            dy, dx = jax.random.randint(k, (2, H, W), -d, d)
+            # the displacement is bounded, so the per-pixel gather (slow on
+            # TPU: arbitrary 2-D gather) is a select-sum over the (2d)^2
+            # statically shifted copies — pure VPU work, identical values.
+            # Edge clamping == 'edge' padding + static slicing.
+            pe = jnp.pad(out, ((d, d), (d, d), (0, 0)), mode="edge")
+            code = (dy + d) * (2 * d) + (dx + d)
+            acc = jnp.zeros_like(out)
+            for a in range(-d, d):
+                for b in range(-d, d):
+                    m = code == (a + d) * (2 * d) + (b + d)
+                    acc = acc + jnp.where(
+                        m[..., None],
+                        jax.lax.slice(pe, (d + a, d + b, 0),
+                                      (d + a + H, d + b + W, pe.shape[2])),
+                        0.0)
+            out = acc
+        return self._blur(out), mask
 
 
 class RandomBrightnessContrast(Transform):

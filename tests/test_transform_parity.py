@@ -112,7 +112,13 @@ def test_resize_rejects_unimplemented_interpolation():
 def test_glass_blur_truncate4_kernel_and_smoothing(img32):
     t = T.GlassBlur(sigma=0.7, max_delta=2, iterations=1, p=1.0)
     # scipy gaussian_filter truncate=4: radius = int(4*0.7 + 0.5) = 3 → 7
-    assert t._gauss_kernel().shape == (7, 7)
+    g = t._gauss_kernel()
+    assert g.shape == (7,)
+    # the separable two-pass blur must equal the dense outer-product kernel
+    x = jnp.asarray(np.random.RandomState(3).rand(15, 17, 3), jnp.float32)
+    dense = T._depthwise_blur(x, g[:, None] * g[None, :])
+    np.testing.assert_allclose(np.asarray(t._blur(x)), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
     out, _ = t.apply(jax.random.PRNGKey(0),
                      jnp.asarray(img32[0], jnp.float32), None)
     f = img32[0].astype(np.float32)
@@ -187,6 +193,27 @@ def test_rotate_mask_border_modes_match_cv2(rng):
 def test_rotate_rejects_unsupported_border_mode():
     with pytest.raises(AssertionError):
         T.Rotate(limit=[10, 10], border_mode=3, p=1.0)
+
+
+@pytest.mark.parametrize("border_mode", [0, 1, 2, 4])
+def test_rotate_fused_pair_equals_separate_samples(rng, border_mode):
+    """The single-gather img+mask sampler (_affine_sample_pair) must equal
+    the two independent _affine_sample calls bit-for-bit — including the
+    round-half-even nearest selection for the mask."""
+    img = jnp.asarray(rng.rand(21, 19, 3), jnp.float32)
+    mask = jnp.asarray(rng.randint(0, 5, (21, 19)), jnp.float32)
+    angle = 0.61  # radians; also hits exact .5 coords via the grid center
+    c, s = np.cos(angle), np.sin(angle)
+    inv = jnp.asarray([[c, s], [-s, c]], jnp.float32)
+    center = ((21 - 1) / 2.0, (19 - 1) / 2.0)
+    oi, om = T._affine_sample_pair(img, mask, inv, center, 7.0, 2.0,
+                                   border_mode)
+    ri = T._affine_sample(img, inv, center, 7.0, border_mode=border_mode)
+    rm = T._affine_sample(mask, inv, center, 2.0, nearest=True,
+                          border_mode=border_mode)
+    np.testing.assert_allclose(np.asarray(oi), np.asarray(ri),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(om), np.asarray(rm))
 
 
 # --------- documented-approximation tolerance bounds (VERDICT r1 #9) ----
