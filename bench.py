@@ -52,10 +52,9 @@ def build_model_and_vars(quick: bool):
             "dropout": jax.random.PRNGKey(1)}
     # jit the init off-CPU: eager init runs op-by-op over the axon tunnel
     # (measured 180 s for the flagship; one compiled program is ~4x faster)
-    init = lambda r, x: model.init(r, x, method="inference")  # noqa: E731
-    if jax.default_backend() != "cpu":
-        init = jax.jit(init)
-    variables = init(rngs, img)
+    from image_segmentation_lab_tpu.utils.jit_init import jit_init_off_cpu
+    variables = jit_init_off_cpu(
+        lambda r, x: model.init(r, x, method="inference"))(rngs, img)
     return model, variables
 
 

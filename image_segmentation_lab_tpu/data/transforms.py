@@ -226,6 +226,26 @@ def _gather_patches(padded, y0, x0, size: int):
     return out.reshape(y0.shape + sizes)
 
 
+def _affine_src_coords(H, W, inv_matrix, center):
+    """(src_y, src_x) sample coordinates for the (H, W) output grid."""
+    ys = jnp.arange(H, dtype=jnp.float32) - center[0]
+    xs = jnp.arange(W, dtype=jnp.float32) - center[1]
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    src_y = inv_matrix[0, 0] * yy + inv_matrix[0, 1] * xx + center[0]
+    src_x = inv_matrix[1, 0] * yy + inv_matrix[1, 1] * xx + center[1]
+    return src_y, src_x
+
+
+def _corner_pad(H, W):
+    """Static per-axis pad covering the farthest source coordinate any
+    rotation of the (H, W) grid can sample (its corner radius), +2 slack
+    for the floor/+1 bilinear taps."""
+    rad = math.hypot((H - 1) / 2.0, (W - 1) / 2.0)
+    py = max(int(math.ceil(rad - (H - 1) / 2.0)) + 2, 2)
+    px = max(int(math.ceil(rad - (W - 1) / 2.0)) + 2, 2)
+    return py, px
+
+
 def _affine_sample(img, inv_matrix, center, fill, nearest=False,
                    border_mode=0):
     """Sample img at inverse-affine-transformed coordinates (H,W grid).
@@ -241,15 +261,8 @@ def _affine_sample(img, inv_matrix, center, fill, nearest=False,
     """
     H, W = img.shape[0], img.shape[1]
     chan = img.ndim == 3
-    ys = jnp.arange(H, dtype=jnp.float32) - center[0]
-    xs = jnp.arange(W, dtype=jnp.float32) - center[1]
-    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    src_y = inv_matrix[0, 0] * yy + inv_matrix[0, 1] * xx + center[0]
-    src_x = inv_matrix[1, 0] * yy + inv_matrix[1, 1] * xx + center[1]
-
-    rad = math.hypot((H - 1) / 2.0, (W - 1) / 2.0)
-    py = max(int(math.ceil(rad - (H - 1) / 2.0)) + 2, 2)
-    px = max(int(math.ceil(rad - (W - 1) / 2.0)) + 2, 2)
+    src_y, src_x = _affine_src_coords(H, W, inv_matrix, center)
+    py, px = _corner_pad(H, W)
     padded = _pad_border(img, py, px, border_mode, fill)
     if padded is not None:
         if nearest:
@@ -306,24 +319,21 @@ def _affine_sample_pair(img, mask, inv_matrix, center, fill, fill_mask,
     ``_affine_sample`` calls when the border pad can't be materialized.
     """
     H, W = img.shape[0], img.shape[1]
-    rad = math.hypot((H - 1) / 2.0, (W - 1) / 2.0)
-    py = max(int(math.ceil(rad - (H - 1) / 2.0)) + 2, 2)
-    px = max(int(math.ceil(rad - (W - 1) / 2.0)) + 2, 2)
+    py, px = _corner_pad(H, W)
     p_img = _pad_border(img, py, px, border_mode, fill)
     p_mask = _pad_border(mask, py, px, border_mode, fill_mask)
     if p_img is None or p_mask is None:
+        # keep the mask dtype identical to the fused branch (the where
+        # promotion in the fallback otherwise yields float32)
         return (_affine_sample(img, inv_matrix, center, fill,
                                border_mode=border_mode),
                 _affine_sample(mask, inv_matrix, center, fill_mask,
-                               nearest=True, border_mode=border_mode))
+                               nearest=True, border_mode=border_mode)
+                .astype(mask.dtype))
     stacked = jnp.concatenate(
         [p_img, p_mask[..., None].astype(p_img.dtype)], axis=-1)
 
-    ys = jnp.arange(H, dtype=jnp.float32) - center[0]
-    xs = jnp.arange(W, dtype=jnp.float32) - center[1]
-    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    src_y = inv_matrix[0, 0] * yy + inv_matrix[0, 1] * xx + center[0]
-    src_x = inv_matrix[1, 0] * yy + inv_matrix[1, 1] * xx + center[1]
+    src_y, src_x = _affine_src_coords(H, W, inv_matrix, center)
     y0 = jnp.floor(src_y).astype(jnp.int32)
     x0 = jnp.floor(src_x).astype(jnp.int32)
     wy = src_y - y0
@@ -660,22 +670,31 @@ class GlassBlur(Transform):
             k = jax.random.fold_in(key, i)
             # np.random.randint has an exclusive high bound: [-d, d)
             dy, dx = jax.random.randint(k, (2, H, W), -d, d)
-            # the displacement is bounded, so the per-pixel gather (slow on
-            # TPU: arbitrary 2-D gather) is a select-sum over the (2d)^2
-            # statically shifted copies — pure VPU work, identical values.
-            # Edge clamping == 'edge' padding + static slicing.
-            pe = jnp.pad(out, ((d, d), (d, d), (0, 0)), mode="edge")
-            code = (dy + d) * (2 * d) + (dx + d)
-            acc = jnp.zeros_like(out)
-            for a in range(-d, d):
-                for b in range(-d, d):
-                    m = code == (a + d) * (2 * d) + (b + d)
-                    acc = acc + jnp.where(
-                        m[..., None],
-                        jax.lax.slice(pe, (d + a, d + b, 0),
-                                      (d + a + H, d + b + W, pe.shape[2])),
-                        0.0)
-            out = acc
+            if (2 * d) ** 2 <= 100:
+                # the displacement is bounded, so the per-pixel gather
+                # (slow on TPU: arbitrary 2-D gather, measured 95 ms at
+                # 8x640^2) is a select-sum over the (2d)^2 statically
+                # shifted copies — pure VPU work (5 ms), identical values.
+                # Edge clamping == 'edge' padding + static slicing.
+                pe = jnp.pad(out, ((d, d), (d, d), (0, 0)), mode="edge")
+                code = (dy + d) * (2 * d) + (dx + d)
+                acc = jnp.zeros_like(out)
+                for a in range(-d, d):
+                    for b in range(-d, d):
+                        m = code == (a + d) * (2 * d) + (b + d)
+                        acc = acc + jnp.where(
+                            m[..., None],
+                            jax.lax.slice(
+                                pe, (d + a, d + b, 0),
+                                (d + a + H, d + b + W, pe.shape[2])),
+                            0.0)
+                out = acc
+            else:
+                # large max_delta: the unrolled select-sum graph would be
+                # O(d^2) ops; the single gather is the better trade
+                iy = jnp.clip(jnp.arange(H)[:, None] + dy, 0, H - 1)
+                ix = jnp.clip(jnp.arange(W)[None, :] + dx, 0, W - 1)
+                out = out[iy, ix]
         return self._blur(out), mask
 
 

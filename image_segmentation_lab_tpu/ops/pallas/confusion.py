@@ -101,18 +101,21 @@ def _hist_kernel(pred_ref, gt_ref, out_ref, *, ignore_index: int,
     def _():
         for r in range(3):
             for c in range(num_classes):
-                out_ref[r, c] = 0.0
+                out_ref[r, c] = 0
 
     pred = pred_ref[:]
     gt = gt_ref[:]
     valid = (gt != ignore_index) & (gt >= 0) & (gt < num_classes)
     eq = (pred == gt) & valid
+    # int32 accumulation: an f32 scalar loses integer exactness past 2^24
+    # counts (≈ one 8×1024×2048 eval batch), which would break the
+    # bit-identical-with-jnp contract
     for c in range(num_classes):
         gc = (gt == c) & valid
         pc = (pred == c) & valid
-        out_ref[0, c] += jnp.sum((gc & eq).astype(jnp.float32))
-        out_ref[1, c] += jnp.sum(pc.astype(jnp.float32))
-        out_ref[2, c] += jnp.sum(gc.astype(jnp.float32))
+        out_ref[0, c] += jnp.sum((gc & eq).astype(jnp.int32))
+        out_ref[1, c] += jnp.sum(pc.astype(jnp.int32))
+        out_ref[2, c] += jnp.sum(gc.astype(jnp.int32))
 
 
 def _hist_pallas(pred: jnp.ndarray, gt: jnp.ndarray, num_classes: int,
@@ -127,7 +130,7 @@ def _hist_pallas(pred: jnp.ndarray, gt: jnp.ndarray, num_classes: int,
         gt = jnp.pad(gt, (0, Pp - P), constant_values=ignore_index)
     pred2d = pred.reshape(S, LANE)
     gt2d = gt.reshape(S, LANE)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_hist_kernel, ignore_index=ignore_index,
                           num_classes=num_classes),
         grid=(S // TILE_S,),
@@ -139,9 +142,10 @@ def _hist_pallas(pred: jnp.ndarray, gt: jnp.ndarray, num_classes: int,
         ],
         out_specs=pl.BlockSpec((3, num_classes), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((3, num_classes), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3, num_classes), jnp.int32),
         interpret=interpret,
     )(pred2d, gt2d)
+    return out.astype(jnp.float32)
 
 
 def confusion_histograms(logits: jnp.ndarray,
@@ -160,9 +164,13 @@ def confusion_histograms(logits: jnp.ndarray,
     assert C >= num_classes
     if force == "auto":
         # pixel-on-lanes Pallas wins 7-8% at eval-batch sizes on TPU; below
-        # ~2M pixels both paths are <0.1 ms — see module doc for numbers
+        # ~2M pixels both paths are <0.1 ms — see module doc for numbers.
+        # num_classes gate: the kernel's cost is a serial 3C-reduction loop
+        # per tile (measured C=2/19); the lane-parallel jnp one-hot path is
+        # the safer bet for wide class sets (e.g. ADE20K's 150).
         n_pixels = int(np.prod(gt.shape))
-        if jax.default_backend() == "tpu" and n_pixels >= (1 << 21):
+        if (jax.default_backend() == "tpu" and n_pixels >= (1 << 21)
+                and num_classes <= 32):
             force = "pallas_hist"
         else:
             force = "jnp"

@@ -57,19 +57,15 @@ def create_train_state(model, rng, sample_img, sample_gt,
                        tx: optax.GradientTransformation) -> TrainState:
     """Initialize variables + optimizer state.
 
-    On non-CPU backends the flax init runs under jit: eager init executes
-    op-by-op, which on a remote (tunneled) device pays a round trip per op
-    (measured 180 s for the flagship on axon) — one compiled program
-    instead.  On CPU eager is faster than compiling."""
+    Off-CPU the flax init runs under jit (see ``utils.jit_init``)."""
+    from .utils.jit_init import jit_init_off_cpu
     rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
 
     def _init(r, i, g):
         return model.init(r, i, g, img_metas={}, rescale=False,
                           return_loss=True, train=True)
 
-    if jax.default_backend() != "cpu":
-        _init = jax.jit(_init)
-    variables = _init(rngs, sample_img, sample_gt)
+    variables = jit_init_off_cpu(_init)(rngs, sample_img, sample_gt)
     params = variables.get("params", {})
     return TrainState(
         step=jnp.zeros((), jnp.int32),
