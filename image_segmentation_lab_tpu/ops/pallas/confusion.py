@@ -13,15 +13,21 @@ layouts were built and raced against the jnp/XLA lowering:
   0.7-0.8 ms.  Kept as a tested reference for the losing layout.
 * **pixel-on-lanes** (``_hist_kernel``, every lane carries a pixel; XLA
   argmax feeds a (TILE_S, 128) int32 tile stream accumulating a (3, C)
-  SMEM histogram): **beats XLA at eval-batch sizes** — 0.629 vs 0.677 ms
-  for 16×640²/C=2 and 1.063 vs 1.153 ms for 4×1024×2048/C=19 (7-8%),
-  bit-identical sums.  At sub-megapixel inputs both paths are <0.1 ms and
-  indistinguishable from tunnel noise.
+  SMEM histogram): wins in the **mid-class-count, large-input** regime —
+  4×1024×2048/C=19 measures 1.41/1.51/1.59 ms vs XLA's 1.46/1.55/1.73
+  across three repeated runs (3-9%), bit-identical sums (int32
+  accumulation; an f32 scalar would lose exactness past 2^24 counts).
+  At C=2 the same kernel **loses** (0.54-0.59 vs XLA's 0.39-0.46 ms over
+  repeats): with two classes XLA's one-hot compare-reduce is a couple of
+  lane-parallel passes and the kernel's fixed 3C-reduction loop can't
+  beat it.  At sub-megapixel inputs both paths are <0.1 ms.
 
-``force='auto'`` therefore picks the pixel-on-lanes kernel on TPU when the
-input is ≥2M pixels and the jnp path otherwise (CPU, tiny inputs).  The
-lesson matches the TPU playbook: the VPU win comes from putting the
-*reduction population* on lanes; layout is the kernel.
+``force='auto'`` therefore picks the pixel-on-lanes kernel on TPU only in
+its winning regime (≥2M pixels, 8 ≤ num_classes ≤ 32, e.g. Cityscapes
+eval) and the jnp path everywhere else.  The lesson matches the TPU
+playbook: the VPU win comes from putting the *reduction population* on
+lanes — and from re-measuring until the regime boundaries are real
+(single-run deltas on a shared chip can be pure machine noise).
 """
 
 from __future__ import annotations
@@ -163,14 +169,14 @@ def confusion_histograms(logits: jnp.ndarray,
     C = logits.shape[-1]
     assert C >= num_classes
     if force == "auto":
-        # pixel-on-lanes Pallas wins 7-8% at eval-batch sizes on TPU; below
-        # ~2M pixels both paths are <0.1 ms — see module doc for numbers.
-        # num_classes gate: the kernel's cost is a serial 3C-reduction loop
-        # per tile (measured C=2/19); the lane-parallel jnp one-hot path is
-        # the safer bet for wide class sets (e.g. ADE20K's 150).
+        # pixel-on-lanes Pallas wins only in its measured regime: ≥2M
+        # pixels AND mid class counts (wins 3-9% at C=19; loses at C=2,
+        # unmeasured above C=32 where the serial 3C-reduction loop and
+        # compile-time unroll would likely lose to the lane-parallel jnp
+        # one-hot path) — see module doc for the repeated-run numbers
         n_pixels = int(np.prod(gt.shape))
         if (jax.default_backend() == "tpu" and n_pixels >= (1 << 21)
-                and num_classes <= 32):
+                and 8 <= num_classes <= 32):
             force = "pallas_hist"
         else:
             force = "jnp"
