@@ -205,7 +205,12 @@ def main():
     entry = cached.get("entries", {}).get(str(depth), {})
     if not args.remeasure_cpu:
         cpu_ips = entry.get("cpu_images_per_sec")
-    if cpu_ips is None:
+    if cpu_ips is None and platform == "cpu":
+        # already on CPU with no cached baseline: don't build and compile a
+        # second model just to divide this machine by itself — report no
+        # ratio (vs_baseline stays null) and leave the cache unseeded
+        pass
+    elif cpu_ips is None:
         # measure the same computation on host CPU, few iterations
         cpu_dev = jax.devices("cpu")[0]
         with jax.default_device(cpu_dev):

@@ -60,7 +60,10 @@ def use_backend(backend: str) -> None:
     """
     assert backend in supported_backends
     global imread_backend, _jpeg
-    if backend == "turbojpeg":
+    if backend == "cv2":
+        if not _HAS_CV2:
+            raise ImportError("`opencv-python` is not installed")
+    elif backend == "turbojpeg":
         if TurboJPEG is None:
             raise ImportError("`PyTurboJPEG` is not installed")
         if _jpeg is None:
