@@ -58,20 +58,27 @@ def build_model_and_vars(quick: bool):
     return model, variables
 
 
+def _median_secs(call, repeats: int) -> float:
+    """Median wall time of ``call()`` over ``repeats`` after one warm
+    (compiling) invocation."""
+    import numpy as np
+
+    call()
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        call()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
 def _rtt(x, repeats: int = 3) -> float:
     """Median time of a no-op jit + scalar fetch (tunnel round-trip)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     noop = jax.jit(lambda x: x.sum().astype(jnp.float32))
-    float(noop(x))
-    ts = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(noop(x))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return _median_secs(lambda: float(noop(x)), repeats)
 
 
 def measure(model, variables, batch: int, iters: int, repeats: int = 3):
@@ -101,23 +108,13 @@ def measure(model, variables, batch: int, iters: int, repeats: int = 3):
     x = jnp.asarray(np.random.RandomState(0).randn(batch, 512, 512, 3),
                     jnp.float32)
     rtt = _rtt(x)
-    float(run(variables, x, iters))  # compile + warm
-    ts = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(run(variables, x, iters))
-        ts.append(time.perf_counter() - t0)
-    step = max((float(np.median(ts)) - rtt) / iters, 1e-9)
+    t = _median_secs(lambda: float(run(variables, x, iters)), repeats)
+    step = max((t - rtt) / iters, 1e-9)
     throughput = batch / step
     # p50 per-image latency: single-image steps, amortized the same way
     x1 = x[:1]
-    float(run(variables, x1, iters))
-    ts = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(run(variables, x1, iters))
-        ts.append(time.perf_counter() - t0)
-    p50 = max((float(np.median(ts)) - rtt) / iters, 1e-9)
+    t = _median_secs(lambda: float(run(variables, x1, iters)), repeats)
+    p50 = max((t - rtt) / iters, 1e-9)
     return float(throughput), p50
 
 
@@ -151,11 +148,8 @@ def measure_train(model, batch: int, iters: int) -> float:
 
     run = jax.jit(loop, static_argnums=4)
     rtt = _rtt(gt)
-    float(run(state, img, gt, rng, iters))  # compile + warm
-    t0 = time.perf_counter()
-    float(run(state, img, gt, rng, iters))
-    t = max(time.perf_counter() - t0 - rtt, 1e-9)
-    return batch * iters / t
+    t = _median_secs(lambda: float(run(state, img, gt, rng, iters)), 1)
+    return batch * iters / max(t - rtt, 1e-9)
 
 
 def main():

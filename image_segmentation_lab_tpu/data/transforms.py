@@ -206,24 +206,20 @@ def _gather_patches(padded, y0, x0, size: int):
     per-index slice count, so one patch gather beats 4 per-tap gathers
     (measured 174 → 36 ms for 8×640² Rotate)."""
     chan = padded.ndim == 3
-    hp, wp = padded.shape[0], padded.shape[1]
+    arr = padded if chan else padded[..., None]
+    hp, wp = arr.shape[0], arr.shape[1]
     starts = jnp.stack([jnp.clip(y0, 0, hp - size),
                         jnp.clip(x0, 0, wp - size)], axis=-1)
     starts = starts.reshape(-1, 2)
-    if chan:
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2, 3), collapsed_slice_dims=(),
-            start_index_map=(0, 1))
-        sizes = (size, size, padded.shape[2])
-    else:
-        dnums = jax.lax.GatherDimensionNumbers(
-            offset_dims=(1, 2), collapsed_slice_dims=(),
-            start_index_map=(0, 1))
-        sizes = (size, size)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    sizes = (size, size, arr.shape[2])
     out = jax.lax.gather(
-        padded, starts, dnums, sizes,
+        arr, starts, dnums, sizes,
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
-    return out.reshape(y0.shape + sizes)
+    out = out.reshape(y0.shape + sizes)
+    return out if chan else out[..., 0]
 
 
 def _affine_src_coords(H, W, inv_matrix, center):

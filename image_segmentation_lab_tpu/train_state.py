@@ -23,6 +23,8 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from .utils.jit_init import jit_init_off_cpu
+
 
 @struct.dataclass
 class TrainState:
@@ -58,7 +60,6 @@ def create_train_state(model, rng, sample_img, sample_gt,
     """Initialize variables + optimizer state.
 
     Off-CPU the flax init runs under jit (see ``utils.jit_init``)."""
-    from .utils.jit_init import jit_init_off_cpu
     rngs = {"params": rng, "dropout": jax.random.fold_in(rng, 1)}
 
     def _init(r, i, g):
