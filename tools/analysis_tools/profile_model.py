@@ -20,7 +20,10 @@ Prints one line per surface: backbone-through-stage-i, encode_decode,
 and full inference (whole or slide per the config's test_cfg).
 
 Each surface compiles its own program (XLA dead-code-eliminates the
-unused later stages, so stage deltas are true stage costs).  First run
+unused later stages, so stage deltas are true stage costs).  Pick
+``--iters`` so that iters x per-surface-time well exceeds the round trip
+(~30-45 ms on a tunnel) — with small models/batches and few iters the
+per-stage deltas drown in round-trip variance.  First run
 on a big model pays one compile per line (~30 s each on a co-located
 host, worse over a tunnel); the persistent compile cache makes repeat
 runs fast.
@@ -65,7 +68,15 @@ def amortized_ms(fn, x, iters: int, repeats: int = 3) -> float:
 
     t = timed(lambda: float(run(x)), repeats)
     rtt = timed(lambda: float(noop(x)), repeats)
-    return max(t - rtt, 0.0) / iters * 1e3
+    return (t - rtt) / iters * 1e3
+
+
+def _fmt(ms: float, batch: int) -> str:
+    """A measurement at or below the round-trip noise floor prints as such
+    instead of an absurd (or divide-by-zero) rate."""
+    if ms < 0.05:
+        return f"{ms:9.2f} ms (below round-trip noise floor)"
+    return f"{ms:9.2f} ms ({batch / ms * 1e3:8.1f} img/s)"
 
 
 def main():
@@ -123,16 +134,15 @@ def main():
             lambda xx, idx=idx: model.apply(variables, xx,
                                             method="extract_feat")[idx],
             x, args.iters, args.repeats)
-        print(f"backbone through stage {idx:<2d} {ms:9.2f} ms "
-              f"({B / ms * 1e3:8.1f} img/s)", flush=True)
+        print(f"backbone through stage {idx:<2d} {_fmt(ms, B)}",
+              flush=True)
 
     for name, method in (("encode_decode", "encode_decode"),
                          ("inference (per test_cfg)", "inference")):
         ms = amortized_ms(
             lambda xx, m=method: model.apply(variables, xx, method=m),
             x, args.iters, args.repeats)
-        print(f"{name:<26s} {ms:9.2f} ms ({B / ms * 1e3:8.1f} img/s)",
-              flush=True)
+        print(f"{name:<26s} {_fmt(ms, B)}", flush=True)
 
 
 if __name__ == "__main__":
