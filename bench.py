@@ -14,10 +14,9 @@ the driver-defined target is ≥5× over CPU).  The CPU number is measured once
 on this machine and cached in ``bench_baseline.json``; pass
 ``--remeasure-cpu`` to refresh it.
 
-Batch default is 64: throughput saturates there (measured 106/140/163/180/
-188 img/s for batch 8/16/32/64/128 — each timed call pays one tunnel
-round-trip, so small batches under-report, and larger batches also fill the
-MXU better).
+Batch default is 64: throughput saturates there (round-2 amortized
+measurements: 253.5 img/s at batch 64 and 252.8 at batch 128 — the MXU is
+full; see docs/PERF.md for the method and full log).
 
 Usage:  python bench.py [--quick] [--batch N] [--iters N]
 """
