@@ -117,7 +117,7 @@ def measure(model, variables, batch: int, iters: int, repeats: int = 3):
     return float(throughput), p50
 
 
-def measure_train(model, batch: int, iters: int) -> float:
+def measure_train(model, batch: int, iters: int, repeats: int = 3) -> float:
     """Train-step throughput (images/sec) at 512x512."""
     import jax
     import jax.numpy as jnp
@@ -147,7 +147,10 @@ def measure_train(model, batch: int, iters: int) -> float:
 
     run = jax.jit(loop, static_argnums=4)
     rtt = _rtt(gt)
-    t = _median_secs(lambda: float(run(state, img, gt, rng, iters)), 1)
+    # same repeats as measure(): a single run would let one scheduler
+    # hiccup on the shared tunnel land directly in the reported img/s
+    t = _median_secs(lambda: float(run(state, img, gt, rng, iters)),
+                     repeats)
     return batch * iters / max(t - rtt, 1e-9)
 
 
@@ -223,7 +226,8 @@ def main():
     train_ips = None
     if not args.no_train_bench:
         train_ips = measure_train(model, batch=2 if args.quick else 16,
-                                  iters=1 if args.quick else max(iters, 5))
+                                  iters=1 if args.quick else max(iters, 5),
+                                  repeats=1 if args.quick else 3)
 
     result = {
         "metric": METRIC,

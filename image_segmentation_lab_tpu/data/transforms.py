@@ -356,11 +356,13 @@ def _affine_sample_pair(img, mask, inv_matrix, center, fill, fill_mask,
 
 
 class Rotate(Transform):
-    # border_mode default matches albumentations' Rotate
-    # (cv2.BORDER_REFLECT_101 = 4); a YAML relying on the library default
-    # must get reflected borders, not constant-black corners
+    # border_mode default matches albumentations 2.0.6's Rotate
+    # (cv2.BORDER_CONSTANT = 0): the reference's own serialized configs
+    # (configs/augmentation/*.yaml, `__version__: 2.0.6`, generated with no
+    # explicit border_mode) record `border_mode: 0` — a YAML relying on the
+    # library default must get constant-fill corners, not reflection
     def __init__(self, limit=(-90, 90), interpolation: int = 1,
-                 border_mode: int = 4, fill: float = 0.0,
+                 border_mode: int = 0, fill: float = 0.0,
                  fill_mask: float = 0.0, mask_interpolation: int = 0,
                  p: float = 0.5, **kw):
         super().__init__(p=p)

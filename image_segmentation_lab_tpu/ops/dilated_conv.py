@@ -63,7 +63,13 @@ def dilated_conv3x3_same(x: jnp.ndarray, weight: jnp.ndarray,
     rhs_dilation=(d, d))``.
     """
     _, h, w, _ = x.shape
-    out = jnp.einsum("nhwc,co->nhwo", x, weight[1, 1])
+    # Accumulate all 9 taps in f32 and round once at the end, matching
+    # lax.conv_general_dilated's accumulator semantics — otherwise bf16
+    # inputs would round per-tap and numerics would vary with input size
+    # (worth_it gates on (h, w, d)).
+    acc = jnp.float32
+    out = jnp.einsum("nhwc,co->nhwo", x, weight[1, 1],
+                     preferred_element_type=acc)
     for ky, kx in _TAPS:
         dy, dx = d * ky, d * kx
         if abs(dy) >= h or abs(dx) >= w:
@@ -71,6 +77,7 @@ def dilated_conv3x3_same(x: jnp.ndarray, weight: jnp.ndarray,
         oy0, oy1 = max(0, -dy), min(h, h - dy)
         ox0, ox1 = max(0, -dx), min(w, w - dx)
         src = x[:, oy0 + dy:oy1 + dy, ox0 + dx:ox1 + dx, :]
-        contrib = jnp.einsum("nhwc,co->nhwo", src, weight[ky + 1, kx + 1])
+        contrib = jnp.einsum("nhwc,co->nhwo", src, weight[ky + 1, kx + 1],
+                             preferred_element_type=acc)
         out = out.at[:, oy0:oy1, ox0:ox1, :].add(contrib)
-    return out
+    return out.astype(jnp.result_type(x.dtype, weight.dtype))

@@ -19,7 +19,9 @@ def execution_platform() -> str:
     backend even inside a ``with jax.default_device(cpu)`` scope)."""
     dev = jax.config.jax_default_device
     if dev is not None:
-        return dev.platform
+        # jax_default_device also accepts a platform *string*
+        # (JAX_DEFAULT_DEVICE=cpu) — no .platform attribute then
+        return dev.platform if hasattr(dev, "platform") else str(dev)
     return jax.default_backend()
 
 

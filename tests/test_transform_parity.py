@@ -162,8 +162,9 @@ def test_motion_blur_direction_ramp_and_shift(img32):
     (4, cv2.BORDER_REFLECT_101), (2, cv2.BORDER_REFLECT),
     (1, cv2.BORDER_REPLICATE)])
 def test_rotate_border_modes_match_cv2(rng, border_mode, cv2_mode):
-    """Rotate must honor border_mode (albumentations default is 4 =
-    BORDER_REFLECT_101), not silently fill with black corners."""
+    """Rotate must honor non-default border_modes (the albumentations
+    2.0.6 default is 0 = BORDER_CONSTANT, per the reference's serialized
+    YAMLs; the reflect/replicate modes remain supported)."""
     img = rng.randint(0, 255, (33, 32, 3)).astype(np.uint8)
     angle = 37.0
     t = T.Rotate(limit=[angle, angle], border_mode=border_mode, p=1.0)
@@ -193,6 +194,15 @@ def test_rotate_mask_border_modes_match_cv2(rng):
 def test_rotate_rejects_unsupported_border_mode():
     with pytest.raises(AssertionError):
         T.Rotate(limit=[10, 10], border_mode=3, p=1.0)
+
+
+def test_rotate_default_border_mode_matches_albumentations_206():
+    """albumentations 2.0.6 (the version the reference pins) defaults
+    Rotate to cv2.BORDER_CONSTANT: the reference's serialized YAMLs
+    (configs/augmentation/*.yaml, ``__version__: 2.0.6``, generated from
+    A.Rotate with no explicit border_mode) all record ``border_mode: 0``.
+    A config omitting border_mode must get constant fill, not reflection."""
+    assert T.Rotate(limit=[10, 10]).border_mode == 0
 
 
 @pytest.mark.parametrize("border_mode", [0, 1, 2, 4])
