@@ -154,6 +154,52 @@ def measure_train(model, batch: int, iters: int, repeats: int = 3) -> float:
     return batch * iters / max(t - rtt, 1e-9)
 
 
+def measure_train_aug(model, batch: int = 8, iters: int = 5,
+                      repeats: int = 3) -> float:
+    """Train-step throughput (images/sec) at 640x640 with the Kvasir
+    augmentation YAML fused into the step — the closest analog of the
+    reference's actual workload (reference train.py:119-161: 640^2
+    Kvasir pipeline with albumentations in DataLoader workers).  Raw
+    uint8 batches enter the step; aug runs on device inside the same XLA
+    program (stratified OneOf execution, see data/transforms.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_segmentation_lab_tpu.core.builder import build_optimizer
+    from image_segmentation_lab_tpu.data.pipeline import Pipeline
+    from image_segmentation_lab_tpu.train_state import (create_train_state,
+                                                        make_train_step)
+
+    pipeline = Pipeline.from_yaml(
+        REPO_ROOT / "configs/augmentation/kvasir_train_transform.yaml")
+    tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9,
+                              weight_decay=5e-4))
+    rng = jax.random.PRNGKey(0)
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.randint(0, 255, (batch, 640, 640, 3),
+                                dtype=np.uint8))
+    gt = jnp.asarray(r.randint(0, 2, (batch, 640, 640)).astype(np.int32))
+    # params are shape-agnostic in H,W — init on a small sample
+    state = create_train_state(model, rng,
+                               jnp.zeros((1, 64, 64, 3), jnp.float32),
+                               jnp.zeros((1, 64, 64), jnp.int32), tx)
+    step = make_train_step(model, tx, pipeline=pipeline)
+
+    def loop(state, img, gt, rng, k):
+        def body(i, carry):
+            state, acc = carry
+            state, lv = step(state, img, gt, jax.random.fold_in(rng, i))
+            return state, acc + lv["loss"].astype(jnp.float32) * 1e-30
+        return jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))[1]
+
+    run = jax.jit(loop, static_argnums=4)
+    rtt = _rtt(gt)
+    t = _median_secs(lambda: float(run(state, img, gt, rng, iters)),
+                     repeats)
+    return batch * iters / max(t - rtt, 1e-9)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -224,10 +270,13 @@ def main():
         vs_baseline = throughput / cpu_ips
 
     train_ips = None
+    train640_aug_ips = None
     if not args.no_train_bench:
         train_ips = measure_train(model, batch=2 if args.quick else 16,
                                   iters=1 if args.quick else max(iters, 5),
                                   repeats=1 if args.quick else 3)
+        if not args.quick:  # 640^2 on host CPU would dominate a smoke run
+            train640_aug_ips = measure_train_aug(model)
 
     result = {
         "metric": METRIC,
@@ -243,6 +292,8 @@ def main():
                                             if cpu_ips else None),
             "train_images_per_sec": (round(train_ips, 3)
                                      if train_ips else None),
+            "train640_aug_images_per_sec": (round(train640_aug_ips, 3)
+                                            if train640_aug_ips else None),
             "quick": args.quick,
         },
     }

@@ -80,6 +80,20 @@ class Pipeline:
         img, mask = self.root(key, img, mask)
         return (img, mask) if has_mask else (img, None)
 
+    def batched_apply(self, key, images, masks=None):
+        """The un-jitted batch transform: float32 cast → root.batched →
+        int32 mask cast.  Shared by __call__ (standalone, self-jitted) and
+        the fused train step (``train_state.build_train_step_fn``), so the
+        two can never drift.  ``root.batched`` runs OneOf/p<1 branches
+        stratified over static sub-batches (see ``transforms.Transform
+        .batched``) instead of computing every branch for every image."""
+        images = jnp.asarray(images).astype(jnp.float32)
+        has_mask = masks is not None
+        if has_mask:
+            masks = jnp.asarray(masks).astype(jnp.float32)
+        images, masks = self.root.batched(key, images, masks)
+        return images, (masks.astype(jnp.int32) if has_mask else None)
+
     def __call__(self, key, images, masks=None):
         """Apply to a batch: images (N,H,W,C), masks (N,H,W) or None.
 
@@ -87,16 +101,12 @@ class Pipeline:
         and masks cast back to int32.
         """
         images = jnp.asarray(images)
-        n = images.shape[0]
-        keys = jax.random.split(key, n)
         if masks is not None:
             masks = jnp.asarray(masks)
             if self._jitted is None:
-                self._jitted = jax.jit(jax.vmap(
-                    lambda k, i, m: self._single(k, i, m)))
-            img, mask = self._jitted(keys, images, masks)
-            return img, mask.astype(jnp.int32)
+                self._jitted = jax.jit(self.batched_apply)
+            return self._jitted(key, images, masks)
         if self._jitted_nomask is None:
             self._jitted_nomask = jax.jit(
-                jax.vmap(lambda k, i: self._single(k, i, None)[0]))
-        return self._jitted_nomask(keys, images), None
+                lambda k, i: self.batched_apply(k, i, None)[0])
+        return self._jitted_nomask(key, images), None

@@ -27,6 +27,7 @@ Contracts:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -36,6 +37,83 @@ import numpy as np
 from ..utils.ops import resize_bilinear, resize_nearest
 
 Pair = Tuple[float, float]
+
+
+def _stratify_enabled() -> bool:
+    """Batched stratified branch execution (see ``OneOf.batched``).
+    ``ISLT_NO_STRATIFIED_ONEOF=1`` falls back to per-image selection
+    (exact albumentations marginals, but every branch computes for every
+    image under vmap — the A/B harness and bit-parity escape hatch)."""
+    return not os.environ.get("ISLT_NO_STRATIFIED_ONEOF")
+
+
+def _apportion(n: int, weights: Sequence[float]) -> List[int]:
+    """Largest-remainder apportionment of ``n`` slots over ``weights``
+    (deterministic, trace-time: group sizes must be static under jit).
+    ``|counts[i]/n - w_i| < 1/n`` — the marginal quantization bound."""
+    total = float(sum(weights))
+    quotas = [n * w / total for w in weights]
+    counts = [int(q) for q in quotas]
+    rem = n - sum(counts)
+    order = sorted(range(len(weights)), key=lambda i: quotas[i] - counts[i],
+                   reverse=True)
+    for i in order[:rem]:
+        counts[i] += 1
+    return counts
+
+
+def _vmap_transform(fn, key, imgs, masks):
+    """vmap a single-image ``(key, img, mask) -> (img, mask)`` function
+    over the batch with per-image keys; handles the no-mask case (None is
+    not vmappable as an argument)."""
+    keys = jax.random.split(key, imgs.shape[0])
+    if masks is None:
+        return jax.vmap(lambda k, i: fn(k, i, None)[0])(keys, imgs), None
+    return jax.vmap(fn)(keys, imgs, masks)
+
+
+def _stratified_branches(key, imgs, masks, branch_fns, weights):
+    """Execute mutually-exclusive branches on static-size sub-batches.
+
+    A random device-side permutation assigns each image to one branch;
+    branch ``i`` gets a contiguous slice of ``_apportion(n, weights)[i]``
+    images (static size — jit-compatible), is applied *unconditionally*
+    (vmapped over its sub-batch only), and the inverse permutation restores
+    batch order (evaluators match images to metadata by index).
+
+    ``branch_fns[i] is None`` means identity.  Per-image marginals are
+    ``counts[i]/n`` — within ``1/n`` of the exact weights (the price of
+    static shapes); assignment is uniform over images via the permutation.
+    """
+    n = imgs.shape[0]
+    counts = _apportion(n, weights)
+    k_perm, k_apply = jax.random.split(key)
+    perm = jax.random.permutation(k_perm, n)
+    inv = jnp.argsort(perm)
+    imgs_p = jnp.take(imgs, perm, axis=0)
+    masks_p = None if masks is None else jnp.take(masks, perm, axis=0)
+    out_i, out_m = [], []
+    off = 0
+    for bi, (fn, c) in enumerate(zip(branch_fns, counts)):
+        if c == 0:
+            continue
+        sub_i = imgs_p[off:off + c]
+        sub_m = None if masks_p is None else masks_p[off:off + c]
+        if fn is None:
+            oi, om = sub_i, sub_m
+        else:
+            oi, om = _vmap_transform(fn, jax.random.fold_in(k_apply, bi),
+                                     sub_i, sub_m)
+        out_i.append(oi)
+        out_m.append(om)
+        off += c
+    imgs_o = jnp.concatenate(out_i, axis=0) if len(out_i) > 1 else out_i[0]
+    imgs_o = jnp.take(imgs_o, inv, axis=0)
+    if masks is None:
+        return imgs_o, None
+    masks_o = (jnp.concatenate(out_m, axis=0) if len(out_m) > 1
+               else out_m[0])
+    return imgs_o, jnp.take(masks_o, inv, axis=0)
 
 
 def _uniform(key, lo, hi):
@@ -75,6 +153,36 @@ class Transform:
             return new_img, new_mask
         return _apply_p(k_gate, self.p, new_img, new_mask, img, mask)
 
+    # -- batched application ------------------------------------------------
+    # The Pipeline applies the root transform to the whole batch through
+    # ``batched``.  The default is vmap-of-__call__ (identical semantics to
+    # per-image application); containers override it to execute branches
+    # stratified — computing each branch only on the sub-batch that selected
+    # it instead of computing every branch for every image (under vmap,
+    # lax.switch/select evaluates ALL branches per lane: the Kvasir YAML's
+    # geometric OneOf paid Rotate's full gather for the 2/3 of images that
+    # only flip).
+
+    def force_apply(self, key, img, mask):
+        """Apply unconditionally — a container (OneOf) picked this
+        transform, so its own ``p`` gate is bypassed (albumentations'
+        ``force_apply=True`` semantics).  Containers override this to
+        bypass only their *own* gate, not their children's."""
+        return self.apply(key, img, mask)
+
+    def batched(self, key, imgs, masks):
+        """Apply to a batch (per-image keys).  Default: vmap of __call__,
+        except that a shape-preserving p<1 transform is executed
+        stratified (it runs only on a ``round(n*p)``-sized random
+        sub-batch) when enabled."""
+        if (self.p < 1.0 and _stratify_enabled() and imgs.shape[0] > 1
+                and self.output_shape(imgs.shape[1:])
+                == tuple(imgs.shape[1:])):
+            return _stratified_branches(
+                key, imgs, masks, [self.force_apply, None],
+                [self.p, 1.0 - self.p])
+        return _vmap_transform(self.__call__, key, imgs, masks)
+
 
 class Compose(Transform):
     def __init__(self, transforms: List[Transform], p: float = 1.0, **kw):
@@ -100,6 +208,21 @@ class Compose(Transform):
         return _apply_p(jax.random.fold_in(key, len(self.transforms)),
                         self.p, out_img, out_mask, img, mask)
 
+    def force_apply(self, key, img, mask):
+        # bypass the Compose's own gate; children keep their own p gates
+        # (albumentations Compose(force_apply=True) semantics)
+        for i, t in enumerate(self.transforms):
+            img, mask = t(jax.random.fold_in(key, i), img, mask)
+        return img, mask
+
+    def batched(self, key, imgs, masks):
+        if self.p < 1.0:
+            # rare; keep exact per-image semantics for the gated block
+            return _vmap_transform(self.__call__, key, imgs, masks)
+        for i, t in enumerate(self.transforms):
+            imgs, masks = t.batched(jax.random.fold_in(key, i), imgs, masks)
+        return imgs, masks
+
 
 class OneOf(Transform):
     """Pick one child weighted by its p, then apply it unconditionally
@@ -116,10 +239,29 @@ class OneOf(Transform):
         idx = jax.random.choice(k_choice, len(self.transforms),
                                 p=jnp.asarray(self.probs))
         branches = [
-            (lambda t: lambda operands: t.apply(*operands))(t)
+            (lambda t: lambda operands: t.force_apply(*operands))(t)
             for t in self.transforms
         ]
         return jax.lax.switch(idx, branches, (k_t, img, mask))
+
+    def batched(self, key, imgs, masks):
+        """Stratified batched OneOf: each child runs only on the sub-batch
+        that selected it.  Under vmap the per-image ``lax.switch`` computes
+        EVERY branch for EVERY image and selects — e.g. the Kvasir YAML's
+        geometric OneOf paid Rotate's full-batch patch gather (96 ms at
+        8x640^2) when only ~1/3 of images rotate.  Falls back to the exact
+        per-image path when disabled or for degenerate batches."""
+        if not _stratify_enabled() or imgs.shape[0] <= 1:
+            return _vmap_transform(self.__call__, key, imgs, masks)
+        for t in self.transforms:
+            assert t.output_shape(imgs.shape[1:]) == tuple(imgs.shape[1:]), (
+                f"OneOf child {type(t).__name__} changes shape")
+        fns = [t.force_apply for t in self.transforms]
+        weights = [float(w) for w in self.probs]
+        if self.p < 1.0:  # OneOf itself gated: identity branch
+            weights = [w * self.p for w in weights] + [1.0 - self.p]
+            fns = fns + [None]
+        return _stratified_branches(key, imgs, masks, fns, weights)
 
 
 class Resize(Transform):
@@ -140,6 +282,12 @@ class Resize(Transform):
 
     def apply(self, key, img, mask):
         size = (self.height, self.width)
+        if img.shape[:2] == size and (mask is None
+                                      or mask.shape[:2] == size):
+            # cv2.resize to the same size is the identity for both
+            # interpolations; skip the separable interp matmuls (the
+            # loader pre-resizes, so the fused pipeline always hits this)
+            return img, mask
         img4 = img[None]
         img = (resize_bilinear(img4, size) if self.interpolation != 0
                else resize_nearest(img4, size))[0]
@@ -873,6 +1021,9 @@ class ToTensorV2(Transform):
 
     def __init__(self, p: float = 1.0, transpose_mask: bool = False, **kw):
         super().__init__(p=p)
+
+    def apply(self, key, img, mask):
+        return img, mask
 
     def __call__(self, key, img, mask):
         return img, mask

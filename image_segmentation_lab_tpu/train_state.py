@@ -90,12 +90,7 @@ def build_train_step_fn(model, tx: optax.GradientTransformation,
     def train_step(state: TrainState, img, gt, dropout_rng):
         if pipeline is not None:
             aug_rng, dropout_rng = jax.random.split(dropout_rng)
-            keys = jax.random.split(aug_rng, img.shape[0])
-            img, gt = jax.vmap(
-                lambda k, i, m: pipeline._single(k, i, m))(keys, img,
-                                                           gt.astype(
-                                                               jnp.float32))
-            gt = gt.astype(jnp.int32)
+            img, gt = pipeline.batched_apply(aug_rng, img, gt)
 
         def loss_fn(params):
             variables = {"params": params,
