@@ -598,15 +598,35 @@ class PadIfNeeded(Transform):
         return img, mask
 
 
+_SHIFT_SUM_MAX_TAPS = 512
+
+
 def _depthwise_blur(img, kernel2d):
     """Apply a (K,K) kernel per-channel on an (H,W,C) image.
 
     Borders use reflect-101 padding (cv2's BORDER_DEFAULT, which
     albumentations' blurs inherit) — zero padding would darken edges.
+
+    For small kernels (every aug blur: K ≤ 21, ≤ 441 taps) the correlation
+    is computed as a shifted-add — one full-array FMA per tap over the
+    statically-sliced reflect-padded source.  A 3-channel depthwise conv
+    runs the VPU at 3/128 lane utilization (docs/PERF.md cost model); the
+    shifted-add form uses full lanes, the same pattern that took
+    GlassBlur's displacement from 95 to 5 ms.  Same taps, same padding —
+    only the accumulation order differs from the conv.
     """
     kh, kw = kernel2d.shape
     ph, pw = kh // 2, kw // 2
-    x = jnp.pad(img, ((ph, ph), (pw, pw), (0, 0)), mode="reflect")[None]
+    x = jnp.pad(img, ((ph, ph), (pw, pw), (0, 0)), mode="reflect")
+    if kh * kw <= _SHIFT_SUM_MAX_TAPS:
+        H, W, C = img.shape
+        out = jnp.zeros_like(img)
+        for dy in range(kh):
+            for dx in range(kw):
+                tap = jax.lax.slice(x, (dy, dx, 0), (dy + H, dx + W, C))
+                out = out + kernel2d[dy, dx] * tap
+        return out
+    x = x[None]
     k = kernel2d[:, :, None, None]  # HWIO with I=1
     out = jax.lax.conv_general_dilated(
         x, jnp.tile(k, (1, 1, 1, x.shape[-1])),

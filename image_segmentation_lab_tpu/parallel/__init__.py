@@ -1,5 +1,5 @@
 from .dist import (all_reduce_scalar, barrier, get_dist_info, init_dist,
                    is_master, master_only)
 from .mesh import (batch_sharding, get_mesh, make_sharded_eval_step,
-                   make_sharded_train_step, replicate, replicated,
-                   shard_batch)
+                   make_sharded_metric_eval_step, make_sharded_train_step,
+                   replicate, replicated, shard_batch)

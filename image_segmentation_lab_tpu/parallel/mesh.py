@@ -94,3 +94,27 @@ def make_sharded_eval_step(model, mesh: Mesh, axis: str = "data"):
         return model.apply(variables, img, method="inference")
 
     return jax.jit(eval_step, in_shardings=(rep, data), out_shardings=data)
+
+
+def make_sharded_metric_eval_step(model, mesh: Mesh, num_classes: int,
+                                  ignore_index: int = 255,
+                                  axis: str = "data"):
+    """Data-parallel eval with cross-device confusion-matrix accumulation.
+
+    Each chip scores its batch shard and histograms it on device; the
+    per-class (intersect, pred-area, label-area) vectors are summed across
+    the mesh — the replicated out-sharding makes XLA insert the psum.  The
+    multi-chip analog of the reference's eval loop + ``SegEvaluator``
+    accumulation (reference utils/train_utils.py:106-137).
+    """
+    from ..ops.pallas.confusion import confusion_histograms
+
+    rep = replicated(mesh)
+    data = batch_sharding(mesh, axis)
+
+    def eval_step(variables, img, gt):
+        probs = model.apply(variables, img, method="inference")
+        return confusion_histograms(probs, gt, num_classes, ignore_index)
+
+    return jax.jit(eval_step, in_shardings=(rep, data, data),
+                   out_shardings=rep)

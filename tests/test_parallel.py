@@ -76,6 +76,36 @@ def test_multichip_slide_inference_matches_single():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_metric_eval_matches_single_device():
+    """Cross-device confusion-matrix accumulation: the 8-way sharded eval's
+    per-class areas must equal the single-device histograms exactly (bit-
+    identical int counts psum'd across the mesh — the multi-chip analog of
+    the reference eval loop, utils/train_utils.py:106-137)."""
+    from image_segmentation_lab_tpu.ops.pallas.confusion import \
+        confusion_histograms
+    from image_segmentation_lab_tpu.parallel import \
+        make_sharded_metric_eval_step
+    model = build_segmentor(small_cfg())
+    x = jnp.asarray(np.random.RandomState(3).randn(8, 32, 32, 3),
+                    jnp.float32)
+    gt = np.random.RandomState(4).randint(0, 2, (8, 32, 32))
+    gt[0, :4] = 255  # ignored pixels exercise the ignore_index path
+    gt = jnp.asarray(gt)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           x, method="inference")
+    probs = model.apply(variables, x, method="inference")
+    ref = confusion_histograms(probs, gt, 2, 255)
+
+    mesh = get_mesh(8)
+    step = make_sharded_metric_eval_step(model, mesh, num_classes=2,
+                                         ignore_index=255)
+    xs, gts = shard_batch((x, gt), mesh)
+    out = step(replicate(variables, mesh), xs, gts)
+    for r, o in zip(ref, out):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
+
 def test_dist_utils_single_process():
     rank, world = get_dist_info()
     assert rank == 0 and world == 1
