@@ -76,6 +76,53 @@ def test_multichip_slide_inference_matches_single():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_fused_aug_train_step_matches_single_device():
+    """train.py's multi-device path fuses the (stratified) aug pipeline
+    into the sharded step; the batch permutation + static branch slices
+    must produce the same numbers as the single-device fused step (same
+    key → same permutation), with XLA inserting the resharding."""
+    from image_segmentation_lab_tpu.data.pipeline import Pipeline
+    pipe = Pipeline.from_dict({
+        "transform": {"__class_fullname__": "Compose", "p": 1.0,
+                      "transforms": [
+                          {"__class_fullname__": "OneOf", "p": 1,
+                           "transforms": [
+                               {"__class_fullname__": "HorizontalFlip",
+                                "p": 0.5},
+                               {"__class_fullname__": "VerticalFlip",
+                                "p": 0.5},
+                               {"__class_fullname__": "RandomGamma",
+                                "gamma_limit": [80.0, 120.0], "p": 0.5}]},
+                          {"__class_fullname__": "Normalize",
+                           "mean": [0.5, 0.5, 0.5], "std": [0.25, 0.25, 0.25],
+                           "max_pixel_value": 255.0, "p": 1.0}]}})
+    model = build_segmentor(small_cfg())
+    tx = build_optimizer(dict(type="SGD", lr=0.1, momentum=0.9))
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (8, 32, 32, 3)), jnp.uint8)
+    gt = jnp.asarray(np.random.RandomState(1).randint(0, 2, (8, 32, 32)))
+    state1 = create_train_state(model, rng,
+                                jnp.zeros((1, 32, 32, 3), jnp.float32),
+                                gt[:1], tx)
+    step1 = make_train_step(model, tx, donate=False, pipeline=pipe)
+    mesh = get_mesh(8)
+    state8 = replicate(
+        create_train_state(model, rng, jnp.zeros((1, 32, 32, 3),
+                                                 jnp.float32), gt[:1], tx),
+        mesh)
+    step8 = make_sharded_train_step(model, tx, mesh, donate=False,
+                                    pipeline=pipe)
+    xs, gts = shard_batch((x, gt), mesh)
+    k = jax.random.fold_in(rng, 0)
+    state1, lv1 = step1(state1, x, gt, k)
+    state8, lv8 = step8(state8, xs, gts, k)
+    np.testing.assert_allclose(float(lv1["loss"]), float(lv8["loss"]),
+                               rtol=1e-5)
+    from helpers import assert_trees_equal
+    assert_trees_equal(state1.params, state8.params, rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_metric_eval_matches_single_device():
     """Cross-device confusion-matrix accumulation: the 8-way sharded eval's
     per-class areas must equal the single-device histograms exactly (bit-
