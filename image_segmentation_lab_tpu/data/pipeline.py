@@ -72,14 +72,6 @@ class Pipeline:
     def output_shape(self, in_shape: Tuple[int, ...]) -> Tuple[int, ...]:
         return self.root.output_shape(in_shape)
 
-    def _single(self, key, img, mask):
-        img = img.astype(jnp.float32)
-        has_mask = mask is not None
-        if mask is not None:
-            mask = mask.astype(jnp.float32)
-        img, mask = self.root(key, img, mask)
-        return (img, mask) if has_mask else (img, None)
-
     def batched_apply(self, key, images, masks=None):
         """The un-jitted batch transform: float32 cast → root.batched →
         int32 mask cast.  Shared by __call__ (standalone, self-jitted) and

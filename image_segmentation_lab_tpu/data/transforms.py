@@ -62,6 +62,17 @@ def _apportion(n: int, weights: Sequence[float]) -> List[int]:
     return counts
 
 
+def _stratify_representable(n: int, weights: Sequence[float]) -> bool:
+    """A stratified execution is only faithful when every branch with
+    nonzero weight gets at least one slot — otherwise quantization would
+    deterministically KILL that branch (e.g. ISONoise p=0.1 at batch 4:
+    quota 0.4 → 0 slots in every batch, the augmentation silently never
+    fires) or force an always-on branch.  Callers fall back to exact
+    per-image selection in that case."""
+    counts = _apportion(n, weights)
+    return all(c > 0 for c, w in zip(counts, weights) if w > 1e-9)
+
+
 def _vmap_transform(fn, key, imgs, masks):
     """vmap a single-image ``(key, img, mask) -> (img, mask)`` function
     over the batch with per-image keys; handles the no-mask case (None is
@@ -175,12 +186,13 @@ class Transform:
         except that a shape-preserving p<1 transform is executed
         stratified (it runs only on a ``round(n*p)``-sized random
         sub-batch) when enabled."""
+        weights = [self.p, 1.0 - self.p]
         if (self.p < 1.0 and _stratify_enabled() and imgs.shape[0] > 1
+                and _stratify_representable(imgs.shape[0], weights)
                 and self.output_shape(imgs.shape[1:])
                 == tuple(imgs.shape[1:])):
             return _stratified_branches(
-                key, imgs, masks, [self.force_apply, None],
-                [self.p, 1.0 - self.p])
+                key, imgs, masks, [self.force_apply, None], weights)
         return _vmap_transform(self.__call__, key, imgs, masks)
 
 
@@ -251,16 +263,17 @@ class OneOf(Transform):
         geometric OneOf paid Rotate's full-batch patch gather (96 ms at
         8x640^2) when only ~1/3 of images rotate.  Falls back to the exact
         per-image path when disabled or for degenerate batches."""
-        if not _stratify_enabled() or imgs.shape[0] <= 1:
-            return _vmap_transform(self.__call__, key, imgs, masks)
-        for t in self.transforms:
-            assert t.output_shape(imgs.shape[1:]) == tuple(imgs.shape[1:]), (
-                f"OneOf child {type(t).__name__} changes shape")
         fns = [t.force_apply for t in self.transforms]
         weights = [float(w) for w in self.probs]
         if self.p < 1.0:  # OneOf itself gated: identity branch
             weights = [w * self.p for w in weights] + [1.0 - self.p]
             fns = fns + [None]
+        if (not _stratify_enabled() or imgs.shape[0] <= 1
+                or not _stratify_representable(imgs.shape[0], weights)):
+            return _vmap_transform(self.__call__, key, imgs, masks)
+        for t in self.transforms:
+            assert t.output_shape(imgs.shape[1:]) == tuple(imgs.shape[1:]), (
+                f"OneOf child {type(t).__name__} changes shape")
         return _stratified_branches(key, imgs, masks, fns, weights)
 
 

@@ -66,18 +66,54 @@ def replicate(tree, mesh: Mesh):
 
 
 def make_sharded_train_step(model, tx, mesh: Mesh, axis: str = "data",
-                            donate: bool = True, pipeline=None):
+                            donate: bool = True, pipeline=None,
+                            aug_shard_local: bool = False):
     """Data-parallel train step over ``mesh``.
 
     Exactly the shared ``train_state.build_train_step_fn`` body; the
     shardings turn it into an SPMD program: batch split over ``axis``, state
     replicated, gradients all-reduced by XLA.
+
+    With a fused ``pipeline``, two placements for its stratified-OneOf
+    batch permutations:
+
+    * default (``aug_shard_local=False``): the permutation is GLOBAL — the
+      aug stream is bit-identical to the single-device fused step (the
+      DP==single invariant the tests pin), at the cost of GSPMD resharding
+      the image batch across chips for each stratified node (~batch-size
+      bytes of ICI traffic per node per step);
+    * ``aug_shard_local=True``: the pipeline runs under ``shard_map``, each
+      chip stratifying its LOCAL sub-batch with a shard-decorrelated key —
+      zero aug communication, same per-image marginals (quantized on the
+      per-chip batch), but a different (equally valid) random stream than
+      single-device execution.  Use for production multi-chip throughput.
     """
     from ..train_state import build_train_step_fn
 
-    train_step = build_train_step_fn(model, tx, pipeline)
     rep = replicated(mesh)
     data = batch_sharding(mesh, axis)
+    if pipeline is not None and aug_shard_local:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec
+
+        base_step = build_train_step_fn(model, tx, None)
+        pspec = PartitionSpec(axis)
+
+        def aug_local(key, img, gt):
+            # decorrelate the per-chip aug streams
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+            return pipeline.batched_apply(key, img, gt)
+
+        aug = shard_map(aug_local, mesh=mesh,
+                        in_specs=(PartitionSpec(), pspec, pspec),
+                        out_specs=(pspec, pspec))
+
+        def train_step(state, img, gt, rng):
+            aug_rng, step_rng = jax.random.split(rng)
+            img, gt = aug(aug_rng, img, gt)
+            return base_step(state, img, gt, step_rng)
+    else:
+        train_step = build_train_step_fn(model, tx, pipeline)
     return jax.jit(
         train_step,
         in_shardings=(rep, data, data, rep),
@@ -114,7 +150,14 @@ def make_sharded_metric_eval_step(model, mesh: Mesh, num_classes: int,
 
     def eval_step(variables, img, gt):
         probs = model.apply(variables, img, method="inference")
-        return confusion_histograms(probs, gt, num_classes, ignore_index)
+        # force the jnp one-hot path: a Mosaic (Pallas) kernel cannot be
+        # automatically partitioned inside a multi-device jit (jax raises
+        # NotImplementedError at lowering, tpu_custom_call.py) — and the
+        # auto regime would pick Pallas exactly in the large-input
+        # multi-chip case this step exists for.  The jnp per-shard
+        # partial sums + psum are what SPMD wants anyway.
+        return confusion_histograms(probs, gt, num_classes, ignore_index,
+                                    force="jnp")
 
     return jax.jit(eval_step, in_shardings=(rep, data, data),
                    out_shardings=rep)

@@ -123,6 +123,65 @@ def test_sharded_fused_aug_train_step_matches_single_device():
     assert_trees_equal(state1.params, state8.params, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_fused_aug_shard_local_mode_runs():
+    """aug_shard_local=True stratifies each chip's LOCAL sub-batch under
+    shard_map (zero aug ICI traffic).  The stream legitimately differs
+    from single-device; what must hold: it runs, trains (finite loss,
+    params move), and per-chip keys are decorrelated (not all shards see
+    identical aug decisions — checked via the aug output itself)."""
+    from image_segmentation_lab_tpu.data.pipeline import Pipeline
+    pipe = Pipeline.from_dict({
+        "transform": {"__class_fullname__": "Compose", "p": 1.0,
+                      "transforms": [
+                          {"__class_fullname__": "OneOf", "p": 1,
+                           "transforms": [
+                               {"__class_fullname__": "HorizontalFlip",
+                                "p": 0.5},
+                               {"__class_fullname__": "RandomGamma",
+                                "gamma_limit": [50.0, 150.0], "p": 0.5}]},
+                          {"__class_fullname__": "Normalize",
+                           "mean": [0.5, 0.5, 0.5], "std": [0.25, 0.25, 0.25],
+                           "max_pixel_value": 255.0, "p": 1.0}]}})
+    model = build_segmentor(small_cfg())
+    tx = build_optimizer(dict(type="SGD", lr=0.1, momentum=0.9))
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randint(
+        0, 255, (16, 32, 32, 3)), jnp.uint8)
+    gt = jnp.asarray(np.random.RandomState(1).randint(0, 2, (16, 32, 32)))
+    mesh = get_mesh(8)
+    state = replicate(
+        create_train_state(model, rng, jnp.zeros((1, 32, 32, 3),
+                                                 jnp.float32), gt[:1], tx),
+        mesh)
+    step = make_sharded_train_step(model, tx, mesh, donate=False,
+                                   pipeline=pipe, aug_shard_local=True)
+    xs, gts = shard_batch((x, gt), mesh)
+    p_before = jax.device_get(state.params)
+    state, lv = step(state, xs, gts, jax.random.fold_in(rng, 0))
+    assert np.isfinite(float(lv["loss"]))
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(np.asarray(a) - np.asarray(b)))),
+        p_before, jax.device_get(state.params))
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+    # shard decorrelation: the 8 per-chip sub-batches (2 images each) must
+    # not all make identical branch choices for their first image
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def aug_local(key, img, gt):
+        key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        return pipe.batched_apply(key, img, gt)
+
+    aug = jax.jit(shard_map(aug_local, mesh=mesh,
+                            in_specs=(P(), P("data"), P("data")),
+                            out_specs=(P("data"), P("data"))))
+    same = jnp.broadcast_to(x[:1], x.shape)  # identical image on all slots
+    out, _ = aug(jax.random.PRNGKey(5), same, gts)
+    firsts = np.asarray(out)[::2]  # first image of each chip's sub-batch
+    assert not all(np.array_equal(firsts[0], f) for f in firsts[1:])
+
+
 def test_sharded_metric_eval_matches_single_device():
     """Cross-device confusion-matrix accumulation: the 8-way sharded eval's
     per-class areas must equal the single-device histograms exactly (bit-

@@ -94,6 +94,35 @@ def test_p_gated_leaf_is_stratified_with_fixed_count():
     assert int((vals == 7.0).sum()) == 2  # round(8 * 0.25)
 
 
+def test_zero_quota_falls_back_to_per_image_bernoulli():
+    """A p=0.1 transform at batch 4 apportions to 0 slots — stratified
+    execution would deterministically KILL the augmentation (it would
+    never fire).  The batched path must fall back to exact per-image
+    Bernoulli gating so the transform still fires with probability ~p."""
+    t = _AddConst(9, p=0.1)
+    imgs = jnp.zeros((4, 2, 2, 3))
+    fired = 0
+    trials = 500
+    for k in range(trials):
+        out, _ = t.batched(jax.random.PRNGKey(k), imgs, None)
+        fired += int((np.asarray(out[:, 0, 0, 0]) == 9.0).sum())
+    rate = fired / (trials * 4)
+    assert 0.06 < rate < 0.14, rate  # ~Bernoulli(0.1), NOT 0
+
+
+def test_zero_quota_oneof_falls_back():
+    """Same guard for OneOf: a branch whose weight rounds to 0 slots at
+    this batch size must not be silently dead."""
+    one = T.OneOf([_AddConst(1, p=0.9), _AddConst(2, p=0.05),
+                   _AddConst(3, p=0.05)], p=1.0)
+    imgs = jnp.zeros((4, 2, 2, 3))
+    seen = set()
+    for k in range(300):
+        out, _ = one.batched(jax.random.PRNGKey(k), imgs, None)
+        seen |= set(np.asarray(out[:, 0, 0, 0]).round().astype(int))
+    assert seen == {1, 2, 3}, seen  # low-weight branches still occur
+
+
 def test_no_stratify_env_falls_back_to_per_image(monkeypatch):
     monkeypatch.setenv("ISLT_NO_STRATIFIED_ONEOF", "1")
     one = T.OneOf([_AddConst(1), _AddConst(2)], p=1.0)

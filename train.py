@@ -55,6 +55,11 @@ def parse_args():
                         choices=["pickle", "orbax", "orbax_async"],
                         help="checkpoint format; orbax_async overlaps "
                              "the write with the next epoch")
+    parser.add_argument("--aug-shard-local", action="store_true",
+                        help="multi-device only: run the fused aug "
+                             "pipeline per-chip under shard_map (zero aug "
+                             "ICI traffic; different-but-equivalent random "
+                             "stream vs single-device)")
     parser.add_argument("--local_rank", type=int, default=0)
     return parser.parse_args()
 
@@ -234,7 +239,8 @@ def main():
         mesh = get_mesh()
         state = replicate(state, mesh)
         _step = make_sharded_train_step(model, tx, mesh,
-                                        pipeline=aug_pipeline)
+                                        pipeline=aug_pipeline,
+                                        aug_shard_local=args.aug_shard_local)
 
         def train_step(state, img, gt, rng):
             img, gt = shard_batch((img, gt), mesh)
