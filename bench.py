@@ -117,11 +117,15 @@ def measure(model, variables, batch: int, iters: int, repeats: int = 3):
     return float(throughput), p50
 
 
-def measure_train(model, batch: int, iters: int, repeats: int = 3) -> float:
-    """Train-step throughput (images/sec) at 512x512."""
+def _train_throughput(model, img, gt, iters: int, repeats: int,
+                      pipeline=None) -> float:
+    """Amortized train-step img/s: ``iters`` steps inside one jit (state
+    carried so XLA cannot dead-code-eliminate the backward), single scalar
+    fetch, minus the measured no-op round trip — same repeats as
+    measure() so one scheduler hiccup on the shared tunnel cannot land
+    directly in the reported number."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from image_segmentation_lab_tpu.core.builder import build_optimizer
     from image_segmentation_lab_tpu.train_state import (create_train_state,
@@ -130,56 +134,6 @@ def measure_train(model, batch: int, iters: int, repeats: int = 3) -> float:
     tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9,
                               weight_decay=5e-4))
     rng = jax.random.PRNGKey(0)
-    img = jnp.asarray(np.random.RandomState(0).randn(batch, 512, 512, 3),
-                      jnp.float32)
-    gt = jnp.asarray(np.random.RandomState(1).randint(0, 2,
-                                                      (batch, 512, 512)))
-    state = create_train_state(model, rng, img[:1], gt[:1], tx)
-    step = make_train_step(model, tx)
-
-    # iters steps inside one jit, single scalar fetch (see measure())
-    def loop(state, img, gt, rng, k):
-        def body(i, carry):
-            state, acc = carry
-            state, lv = step(state, img, gt, jax.random.fold_in(rng, i))
-            return state, acc + lv["loss"].astype(jnp.float32) * 1e-30
-        return jax.lax.fori_loop(0, k, body, (state, jnp.float32(0)))[1]
-
-    run = jax.jit(loop, static_argnums=4)
-    rtt = _rtt(gt)
-    # same repeats as measure(): a single run would let one scheduler
-    # hiccup on the shared tunnel land directly in the reported img/s
-    t = _median_secs(lambda: float(run(state, img, gt, rng, iters)),
-                     repeats)
-    return batch * iters / max(t - rtt, 1e-9)
-
-
-def measure_train_aug(model, batch: int = 8, iters: int = 5,
-                      repeats: int = 3) -> float:
-    """Train-step throughput (images/sec) at 640x640 with the Kvasir
-    augmentation YAML fused into the step — the closest analog of the
-    reference's actual workload (reference train.py:119-161: 640^2
-    Kvasir pipeline with albumentations in DataLoader workers).  Raw
-    uint8 batches enter the step; aug runs on device inside the same XLA
-    program (stratified OneOf execution, see data/transforms.py)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from image_segmentation_lab_tpu.core.builder import build_optimizer
-    from image_segmentation_lab_tpu.data.pipeline import Pipeline
-    from image_segmentation_lab_tpu.train_state import (create_train_state,
-                                                        make_train_step)
-
-    pipeline = Pipeline.from_yaml(
-        REPO_ROOT / "configs/augmentation/kvasir_train_transform.yaml")
-    tx = build_optimizer(dict(type="SGD", lr=0.01, momentum=0.9,
-                              weight_decay=5e-4))
-    rng = jax.random.PRNGKey(0)
-    r = np.random.RandomState(0)
-    img = jnp.asarray(r.randint(0, 255, (batch, 640, 640, 3),
-                                dtype=np.uint8))
-    gt = jnp.asarray(r.randint(0, 2, (batch, 640, 640)).astype(np.int32))
     # params are shape-agnostic in H,W — init on a small sample
     state = create_train_state(model, rng,
                                jnp.zeros((1, 64, 64, 3), jnp.float32),
@@ -197,7 +151,43 @@ def measure_train_aug(model, batch: int = 8, iters: int = 5,
     rtt = _rtt(gt)
     t = _median_secs(lambda: float(run(state, img, gt, rng, iters)),
                      repeats)
+    batch = img.shape[0]
     return batch * iters / max(t - rtt, 1e-9)
+
+
+def measure_train(model, batch: int, iters: int, repeats: int = 3) -> float:
+    """Train-step throughput (images/sec) at 512x512."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    img = jnp.asarray(np.random.RandomState(0).randn(batch, 512, 512, 3),
+                      jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).randint(0, 2,
+                                                      (batch, 512, 512)))
+    return _train_throughput(model, img, gt, iters, repeats)
+
+
+def measure_train_aug(model, batch: int = 8, iters: int = 5,
+                      repeats: int = 3) -> float:
+    """Train-step throughput (images/sec) at 640x640 with the Kvasir
+    augmentation YAML fused into the step — the closest analog of the
+    reference's actual workload (reference train.py:119-161: 640^2
+    Kvasir pipeline with albumentations in DataLoader workers).  Raw
+    uint8 batches enter the step; aug runs on device inside the same XLA
+    program (stratified OneOf execution, see data/transforms.py)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_segmentation_lab_tpu.data.pipeline import Pipeline
+
+    pipeline = Pipeline.from_yaml(
+        REPO_ROOT / "configs/augmentation/kvasir_train_transform.yaml")
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.randint(0, 255, (batch, 640, 640, 3),
+                                dtype=np.uint8))
+    gt = jnp.asarray(r.randint(0, 2, (batch, 640, 640)).astype(np.int32))
+    return _train_throughput(model, img, gt, iters, repeats,
+                             pipeline=pipeline)
 
 
 def main():
