@@ -134,19 +134,26 @@ class CustomDataset:
         if self.cpu_resize is None:
             return image, mask
         h, w = self.cpu_resize.height, self.cpu_resize.width
+        # honor BOTH interpolation fields of the hoisted Resize: the
+        # device-side Resize no-ops once the item is at target size, so
+        # this is the only place the YAML's mask_interpolation executes
+        mask_nearest = self.cpu_resize.mask_interpolation == 0
         if cv2 is not None:
             interp = (cv2.INTER_LINEAR if self.cpu_resize.interpolation != 0
                       else cv2.INTER_NEAREST)
             image = cv2.resize(image, (w, h), interpolation=interp)
             if mask is not None:
-                mask = cv2.resize(mask, (w, h),
-                                  interpolation=cv2.INTER_NEAREST)
+                mask = cv2.resize(
+                    mask, (w, h),
+                    interpolation=(cv2.INTER_NEAREST if mask_nearest
+                                   else cv2.INTER_LINEAR))
         else:  # pragma: no cover - pillow fallback
             from PIL import Image
             image = np.asarray(Image.fromarray(image).resize((w, h)))
             if mask is not None:
-                mask = np.asarray(
-                    Image.fromarray(mask).resize((w, h), Image.NEAREST))
+                mask = np.asarray(Image.fromarray(mask).resize(
+                    (w, h),
+                    Image.NEAREST if mask_nearest else Image.BILINEAR))
         return image, mask
 
     # ---------------------------------------------------------- scanning
@@ -223,7 +230,14 @@ class CustomDataset:
         if self.label_map is not None:
             out = mask.copy()
             for old_id, new_id in self.label_map.items():
-                out[mask == old_id] = new_id
+                # excluded classes remap to -1; the reference's uint8
+                # masks wrap that to 255 (= ignore) implicitly
+                # (custom.py:287-292 + torch uint8 semantics) — our int
+                # masks must map it to ignore_index explicitly, or those
+                # pixels would be TRAINED on (losses test
+                # label != ignore_index) while eval ignores them
+                out[mask == old_id] = (self.ignore_index if new_id == -1
+                                       else new_id)
             mask = out
         return mask
 

@@ -47,6 +47,24 @@ class DataLoader:
                       if self.num_workers > 0 else None)
         self._prefetcher = (ThreadPoolExecutor(max_workers=1)
                             if self.num_workers > 0 else None)
+        if self._pool is not None:
+            # idle worker threads would otherwise outlive the loader — a
+            # process that builds loaders repeatedly (test suite, repeated
+            # val runs) accumulates num_workers+1 threads per instance
+            import weakref
+            weakref.finalize(self, DataLoader._shutdown_executors,
+                             self._pool, self._prefetcher)
+
+    @staticmethod
+    def _shutdown_executors(pool, prefetcher):
+        for ex in (pool, prefetcher):
+            if ex is not None:
+                ex.shutdown(wait=False)
+
+    def close(self):
+        """Release the worker threads now (also runs at GC via finalizer)."""
+        self._shutdown_executors(self._pool, self._prefetcher)
+        self._pool = self._prefetcher = None
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch

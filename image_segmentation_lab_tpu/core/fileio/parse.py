@@ -149,8 +149,24 @@ def select_device(device: str = "", batch_size: int = 0, newline: bool = True):
     s = f"Python-{_platform.python_version()} jax-{jax.__version__} "
     device = str(device).strip().lower().replace("none", "")
     if device == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
-        devices = jax.devices("cpu")
+        # jax snapshots JAX_PLATFORMS at import, so the env var alone
+        # cannot force CPU once jax is loaded; jax_platforms CAN still be
+        # updated until the backend initializes.  If a non-CPU backend is
+        # already live, fall through to jax.devices('cpu') — the CPU
+        # platform coexists with accelerator platforms.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass  # backend already initialized; try the cpu platform below
+        try:
+            devices = jax.devices("cpu")
+        except RuntimeError as e:
+            raise RuntimeError(
+                "select_device('cpu') was called after jax initialized a "
+                "non-CPU backend with the cpu platform excluded "
+                "(JAX_PLATFORMS snapshot). Set JAX_PLATFORMS=cpu before "
+                "importing jax, or call select_device earlier.") from e
         s += "CPU\n"
     else:
         devices = jax.devices()

@@ -53,7 +53,9 @@ def init_model(config: Union[str, Path],
 
     if not isinstance(config, (str, Path)):
         raise TypeError(f"config must be a file path, but got {type(config)}")
-    network_config = parse_and_backup_config(config).pop("model")
+    from ..fileio import require_config_key
+    network_config = require_config_key(parse_and_backup_config(config),
+                                        "model", config)
     # inference never needs pretrained-download init (reference infer.py:63-70)
     if network_config.get("type") == "EncoderDecoder":
         if "init_cfg" in network_config.get("backbone", {}):

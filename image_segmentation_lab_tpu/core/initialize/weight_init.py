@@ -322,7 +322,38 @@ def initialize_from_network_cfg(params, network_cfg, rng):
 
 
 def _subtree_paths(flat, name: str):
-    return {p for p in flat if name in p}
+    """Resolve an override ``name`` to param paths.
+
+    The reference's override targets ``getattr(module, name)`` — a direct
+    attribute of the module being initialized (weight_init.py:486+
+    _initialize_override).  Resolution order here:
+
+    1. dotted names ('decode_head.conv_seg') anchor at the tree root;
+    2. a bare name matching a TOP-LEVEL child wins (the direct-attribute
+       semantics — 'conv1' on a backbone tree targets the stem conv, NOT
+       every bottleneck's conv1);
+    3. otherwise a deeper subtree is accepted only when the anchor is
+       UNIQUE — an ambiguous name (e.g. 'conv_seg' with decode + aux
+       heads both present) raises instead of silently re-initializing
+       several unrelated submodules.
+    """
+    comps = tuple(name.split("."))
+    k = len(comps)
+    if k > 1 or any(p and p[0] == name for p in flat):
+        return {p for p in flat if p[:k] == comps}
+    anchors = set()
+    matches = set()
+    for p in flat:
+        for i in range(len(p) - k + 1):
+            if p[i:i + k] == comps:
+                anchors.add(p[:i + k])
+                matches.add(p)
+                break
+    if len(anchors) > 1:
+        raise ValueError(
+            f"override name '{name}' is ambiguous — it matches "
+            f"{sorted('.'.join(a) for a in anchors)}; use a dotted path")
+    return matches
 
 
 def initialize(params, init_cfg, rng) -> Any:

@@ -279,3 +279,54 @@ def test_schedulers_match_torch():
                 f"torch {torch_lr} vs ours {ours_lr}")
             opt.step()
             sch.step()
+
+
+def test_override_bare_name_targets_top_level_not_nested():
+    """Reference override semantics (weight_init.py:486+): the name is a
+    DIRECT attribute of the module being initialized — 'conv1' on a
+    backbone tree must re-init the stem conv only, not every block's
+    conv1."""
+    from image_segmentation_lab_tpu.core.initialize.weight_init import \
+        initialize
+    params = {
+        "conv1": {"weight": jnp.ones((3, 3, 3, 8))},
+        "layer1": {"blocks_0": {"conv1": {"weight": jnp.ones((1, 1, 8, 8))}}},
+    }
+    new = initialize(params, dict(type="Kaiming", layer="Conv2d",
+                                  override=dict(type="Constant", val=0.0,
+                                                name="conv1")),
+                     jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(new["conv1"]["weight"]), 0.0)
+    nested = np.asarray(new["layer1"]["blocks_0"]["conv1"]["weight"])
+    assert np.abs(nested).max() > 0  # Kaiming-initialized, NOT zeroed
+
+
+def test_override_ambiguous_deep_name_raises():
+    from image_segmentation_lab_tpu.core.initialize.weight_init import \
+        initialize
+    params = {
+        "decode_head": {"conv_seg": {"weight": jnp.ones((1, 1, 8, 2))}},
+        "auxiliary_head": {"conv_seg": {"weight": jnp.ones((1, 1, 4, 2))}},
+    }
+    with pytest.raises(ValueError, match="ambiguous"):
+        initialize(params, dict(type="Kaiming", layer="Conv2d",
+                                override=dict(type="Constant", val=0.0,
+                                              name="conv_seg")),
+                   jax.random.PRNGKey(0))
+
+
+def test_override_dotted_name_disambiguates():
+    from image_segmentation_lab_tpu.core.initialize.weight_init import \
+        initialize
+    params = {
+        "decode_head": {"conv_seg": {"weight": jnp.ones((1, 1, 8, 2))}},
+        "auxiliary_head": {"conv_seg": {"weight": jnp.ones((1, 1, 4, 2))}},
+    }
+    new = initialize(params, dict(type="Kaiming", layer="Conv2d",
+                                  override=dict(type="Constant", val=0.0,
+                                                name="decode_head.conv_seg")),
+                     jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(new["decode_head"]["conv_seg"]["weight"]), 0.0)
+    assert np.abs(np.asarray(
+        new["auxiliary_head"]["conv_seg"]["weight"])).max() > 0

@@ -149,9 +149,11 @@ def test_dataset_custom_classes_remap(tmp_path):
     assert ds.CLASSES == ["a", "c"]
     assert list(map(list, ds.PALETTE)) == [[0, 0, 0], [2, 2, 2]]
     _, mask, _ = ds[0]
-    # remapped: b → -1, c → 1
+    # remapped: b → ignore_index (the reference's uint8 masks wrap the
+    # internal -1 to 255 = ignore; excluded pixels must NOT become
+    # trainable labels), c → 1
     vals = set(np.unique(mask).astype(int))
-    assert vals == {-1, 0, 1}
+    assert vals == {0, 1, 255}
 
 
 def test_loader_single_worker_no_deadlock():
@@ -242,3 +244,63 @@ def test_palette_png_masks_load_as_indices(tmp_path):
         pipeline="configs/augmentation/synthetic_val_transform.yaml")
     _, mask, _ = ds[0]
     assert set(np.unique(mask).astype(int)) == {0, 15, 255}
+
+
+def test_cpu_resize_honors_mask_interpolation(tmp_path):
+    """Resize(mask_interpolation=1) must bilinear-resize the mask in the
+    hoisted CPU resize (the device Resize no-ops once at target size) —
+    previously nearest was hardcoded and the YAML field silently ignored."""
+    import cv2
+    import yaml
+
+    from image_segmentation_lab_tpu.core.dataset.custom import CustomDataset
+
+    spec = {"__version__": "2.0.6", "transform": {
+        "__class_fullname__": "Compose", "p": 1.0, "transforms": [
+            {"__class_fullname__": "Resize", "height": 8, "width": 8,
+             "interpolation": 1, "mask_interpolation": 1, "p": 1.0}]}}
+    pipe_path = tmp_path / "p.yaml"
+    pipe_path.write_text(yaml.safe_dump(spec))
+
+    img_dir, ann_dir = tmp_path / "img", tmp_path / "ann"
+    img_dir.mkdir(); ann_dir.mkdir()
+    rng = np.random.RandomState(0)
+    cv2.imwrite(str(img_dir / "x.jpg"), rng.randint(0, 255, (16, 16, 3),
+                                                    dtype=np.uint8))
+    ann = (rng.rand(16, 16) > 0.5).astype(np.uint8)
+    cv2.imwrite(str(ann_dir / "x.png"), ann)
+
+    class Toy(CustomDataset):
+        CLASSES = ["bg", "fg"]
+        PALETTE = [[0, 0, 0], [1, 1, 1]]
+
+    ds = Toy(pipeline=str(pipe_path), img_dir=str(img_dir),
+             ann_dir=str(ann_dir))
+    _, mask, _ = ds[0]
+    ref = cv2.resize(ann.astype(np.float32), (8, 8),
+                     interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(np.asarray(mask, np.float32), ref, atol=1e-5)
+    assert len(np.unique(mask)) > 2  # bilinear → fractional values exist
+
+
+def test_loader_close_releases_threads():
+    import threading
+
+    ds = SyntheticDataset(
+        pipeline="configs/augmentation/synthetic_val_transform.yaml",
+        length=4, image_size=(32, 32))
+    before = threading.active_count()
+    loader = DataLoader(ds, batch_size=2, num_workers=3,
+                        collate_fn=ds.collate_fn)
+    list(loader)
+    assert threading.active_count() > before
+    loader.close()
+    # shutdown(wait=False): give the workers a beat to exit
+    import time
+    for _ in range(50):
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before
+    # a closed loader still iterates (serial fallback)
+    assert len(list(loader)) == 2
