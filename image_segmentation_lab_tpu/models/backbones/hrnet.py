@@ -203,7 +203,11 @@ class HRNet(nn.Module):
             trainable = stage_idx > self.frozen_stages
             return dict(trainable=trainable,
                         norm_force_eval=self.norm_eval or not trainable,
-                        zero_init_residual=self.zero_init_residual)
+                        # default-init only, like the reference (see
+                        # resnet.py:443-463 for the shared convention)
+                        zero_init_residual=(self.zero_init_residual
+                                            and self.pretrained is None
+                                            and self.init_cfg is None))
 
         stem_trainable = self.frozen_stages < 0
         stem_ncfg = _norm_cfg(norm_cfg, stem_trainable,
@@ -237,8 +241,12 @@ class HRNet(nn.Module):
             block = self.blocks_dict[scfg["block"]]
             cur_channels = [c * block.expansion for c in scfg["num_channels"]]
             kw = stage_kwargs(si)
+            # reference _freeze_stages (hrnet.py:590-604) freezes
+            # transition{i} together with stage i (its producer), not with
+            # the stage it feeds: transition{si-1} frozen when
+            # si-1 <= frozen_stages
             transitions.append(self._make_transition(
-                pre_channels, cur_channels, norm_cfg, kw))
+                pre_channels, cur_channels, norm_cfg, stage_kwargs(si - 1)))
             modules = []
             for m in range(scfg["num_modules"]):
                 last = m == scfg["num_modules"] - 1

@@ -53,14 +53,7 @@ class MobileNetV2(nn.Module):
             raise ValueError("frozen_stages must be in range(-1, 7). "
                              f"But received {self.frozen_stages}")
 
-        def stage_norm(norm, trainable, force_eval):
-            cfg = dict(norm)
-            if not trainable:
-                cfg["requires_grad"] = False
-            if force_eval and ("Batch" in str(cfg.get("type"))
-                               or cfg.get("type") in ("BN", "SyncBN")):
-                cfg["force_eval"] = True
-            return cfg
+        from .resnet import _norm_cfg as stage_norm  # shared freeze logic
 
         stem_trainable = self.frozen_stages < 0
         in_channels = make_divisible(32 * self.widen_factor, 8)

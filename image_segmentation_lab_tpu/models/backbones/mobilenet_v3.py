@@ -96,16 +96,12 @@ class MobileNetV3(nn.Module):
                              f"{n_layers}). But received {self.frozen_stages}")
         norm_cfg = dict(type="BN") if self.norm_cfg is _DEF else self.norm_cfg
 
+        from .resnet import _norm_cfg  # shared freeze/force-eval logic
+
         def ncfg_for(idx):
             trainable = idx > self.frozen_stages
-            cfg = dict(norm_cfg)
-            if not trainable:
-                cfg["requires_grad"] = False
-            if (self.norm_eval or not trainable) and (
-                    "Batch" in str(cfg.get("type"))
-                    or cfg.get("type") in ("BN", "SyncBN")):
-                cfg["force_eval"] = True
-            return cfg, trainable
+            return _norm_cfg(norm_cfg, trainable,
+                             self.norm_eval or not trainable), trainable
 
         layers = []
         in_channels = 16

@@ -298,7 +298,13 @@ class ResNet(nn.Module):
                              if self.plugins is not None else None),
                     trainable=stage_trainable,
                     norm_force_eval=self.norm_eval or not stage_trainable,
-                    zero_init_residual=self.zero_init_residual),
+                    # the reference zero-inits the residual norm ONLY under
+                    # its default init (resnet.py:443-463: pretrained and
+                    # init_cfg both None) — a custom init_cfg or pretrained
+                    # load must leave the gammas at 1
+                    zero_init_residual=(self.zero_init_residual
+                                        and self.pretrained is None
+                                        and self.init_cfg is None)),
                 name=f"layer{i + 1}"))
             inplanes = planes * block.expansion
         self.res_layers = layers

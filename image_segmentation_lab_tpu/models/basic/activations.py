@@ -13,6 +13,8 @@ aliasing; XLA fuses these elementwise ops into neighboring convs for free.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -109,10 +111,16 @@ class Swish(nn.Module):
 
 @ACTIVATION.register("GELU")
 class GELU(nn.Module):
-    approximate: bool = False
+    # torch serializes approximate as the strings 'none'/'tanh'; accept
+    # both forms — the truthy string 'none' must mean EXACT gelu
+    approximate: Any = False
 
     def __call__(self, x, train: bool = False):
-        return jax.nn.gelu(x, approximate=self.approximate)
+        approx = self.approximate
+        if isinstance(approx, str):
+            assert approx in ("none", "tanh"), approx
+            approx = approx == "tanh"
+        return jax.nn.gelu(x, approximate=approx)
 
 
 @ACTIVATION.register("Identity")

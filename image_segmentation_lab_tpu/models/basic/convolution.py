@@ -98,6 +98,21 @@ class _ConvND(nn.Module):
                                 (self.out_channels,), self.trainable)
 
         padding = self._resolve_padding(n)
+        if self.padding_mode != "zeros":
+            # torch pre-pads with the mode, then convolves unpadded
+            # (nn.Conv2d semantics); a silent zero-pad here would produce
+            # different borders than the config asked for
+            mode = {"reflect": "reflect", "replicate": "edge",
+                    "circular": "wrap"}.get(self.padding_mode)
+            assert mode is not None, (
+                f"unsupported padding_mode '{self.padding_mode}'")
+            assert not isinstance(padding, str), (
+                "padding_mode with 'SAME'/'VALID' string padding is not "
+                "supported — give explicit int padding")
+            if any(p != (0, 0) for p in padding):
+                x = jnp.pad(x, [(0, 0)] + list(padding) + [(0, 0)],
+                            mode=mode)
+                padding = [(0, 0)] * n
 
         x, weight = compute_cast(x, weight)
         if self._use_slab_path(x, ksize, stride, dilation, padding):

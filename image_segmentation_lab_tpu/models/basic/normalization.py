@@ -78,6 +78,11 @@ class _BatchNorm(nn.Module):
                                lambda: jnp.ones((self.num_features,), jnp.float32))
 
         use_batch_stats = train and not self.force_eval
+        if not self.track_running_stats:
+            # torch: with track_running_stats=False BN normalizes with the
+            # CURRENT batch statistics in eval mode too (the running
+            # zeros/ones are never updated and must not be used)
+            use_batch_stats = True
         if self.is_initializing():
             use_batch_stats = False
 

@@ -124,9 +124,13 @@ def mask_cross_entropy(pred,
     num_rois = pred.shape[0]
     inds = jnp.arange(num_rois)
     pred_slice = pred[inds, ..., label]  # (N,H,W)
-    pw = jnp.asarray(class_weight, jnp.float32) if class_weight is not None else None
     loss = _bce_with_logits(pred_slice.astype(jnp.float32),
-                            target.astype(jnp.float32), pos_weight=pw)
+                            target.astype(jnp.float32))
+    if class_weight is not None:
+        # torch's F.binary_cross_entropy_with_logits(weight=...) rescales
+        # the WHOLE per-element loss (positive and negative terms alike),
+        # with trailing-dim broadcasting — NOT pos_weight semantics
+        loss = loss * jnp.asarray(class_weight, jnp.float32)
     return jnp.mean(loss)
 
 

@@ -65,4 +65,12 @@ class FPN(nn.Module):
             laterals[i - 1] = laterals[i - 1] + up
         outs = [conv(lat, train=train)
                 for conv, lat in zip(self.fpn_convs, laterals)]
+        # extra output levels (mmseg FPN semantics with add_extra_convs
+        # off): stride-2 max-pool of the last map until num_outs is met
+        if self.num_outs is not None:
+            assert self.num_outs >= len(outs), (
+                f"num_outs={self.num_outs} < {len(outs)} used levels")
+            for _ in range(self.num_outs - len(outs)):
+                outs.append(nn.max_pool(outs[-1], window_shape=(1, 1),
+                                        strides=(2, 2)))
         return tuple(outs)
