@@ -529,6 +529,13 @@ class Rotate(Transform):
         super().__init__(p=p)
         self.limit = (limit, -limit) if isinstance(limit, (int, float)) \
             else tuple(limit)
+        # the fused patch-gather warp implements bilinear image taps +
+        # nearest mask taps (the albumentations defaults) — fail loudly on
+        # other cv2 codes instead of silently warping differently
+        assert interpolation == 1 and mask_interpolation == 0, (
+            f"only interpolation=1 (bilinear) with mask_interpolation=0 "
+            f"(nearest) is implemented, got {interpolation}/"
+            f"{mask_interpolation}")
         assert border_mode in (0, 1, 2, 4), (
             f"unsupported cv2 border_mode {border_mode}")
         self.border_mode = int(border_mode)
@@ -690,6 +697,15 @@ class GaussianBlur(Transform):
                else tuple(int(v) for v in blur_limit))
         self.kmin = max(int(lim[0]) | 1, 3)
         self.kmax = int(lim[1]) | 1
+        if self.kmax < self.kmin:
+            # albumentations' blur_limit=0 means "derive ksize from sigma"
+            # — not implemented; reject at construction instead of an
+            # obscure trace-time crash (empty kernel table / randint(0,0))
+            raise ValueError(
+                f"GaussianBlur blur_limit={blur_limit} resolves to an "
+                f"empty kernel-size range [{self.kmin}, {self.kmax}]; "
+                f"sigma-derived kernel sizes (blur_limit=0) are not "
+                f"implemented — give an explicit odd range like (3, 7)")
         self.sigma_limit = ((0.0, sigma_limit) if isinstance(
             sigma_limit, (int, float)) else tuple(sigma_limit))
 

@@ -201,7 +201,8 @@ def make_tta_step(model, scales=(0.75, 1.0, 1.25)):
     return tta_step
 
 
-def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None):
+def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None,
+                   mesh=None):
     """Jitted validation step: losses + per-head evaluator-ready scores.
 
     Mirrors ``validate_one_epoch``'s per-batch model call
@@ -209,6 +210,12 @@ def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None):
     (single-channel binary heads are expanded via ``binarize_channels`` so
     the evaluator's argmax honors the threshold), optionally rescaled to a
     static uniform ``ori_img_size_hw``.
+
+    With ``mesh`` the step is data-parallel: batch split over the 'data'
+    axis, state replicated, per-head logits returned batch-sharded and the
+    loss means psum'd (replicated) — otherwise a multi-device run would
+    redundantly evaluate the full batch on every chip.  The batch size
+    must divide the mesh; callers keep a plain step for ragged tails.
     """
     thr = head_threshold(model)
 
@@ -224,4 +231,9 @@ def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None):
                       for k, v in seg_logits.items()}
         return seg_logits, log_vars
 
-    return jax.jit(eval_step)
+    if mesh is None:
+        return jax.jit(eval_step)
+    from .parallel.mesh import batch_sharding, replicated
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    return jax.jit(eval_step, in_shardings=(rep, data, data),
+                   out_shardings=(data, rep))

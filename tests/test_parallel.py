@@ -212,6 +212,31 @@ def test_sharded_metric_eval_matches_single_device():
         np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
 
 
+def test_sharded_eval_step_matches_plain():
+    """make_eval_step(mesh=...) splits the val batch over the mesh; the
+    logits and psum'd loss means must equal the replicated step exactly
+    (train.py's multi-device validation path)."""
+    from image_segmentation_lab_tpu.train_state import make_eval_step
+    model = build_segmentor(small_cfg())
+    tx = build_optimizer(dict(type="SGD", lr=0.1))
+    x = jnp.asarray(np.random.RandomState(5).randn(8, 32, 32, 3),
+                    jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(6).randint(0, 2, (8, 32, 32)))
+    state = create_train_state(model, jax.random.PRNGKey(0), x[:1], gt[:1],
+                               tx)
+    plain = make_eval_step(model)
+    logits1, lv1 = plain(state, x, gt)
+    mesh = get_mesh(8)
+    sharded = make_eval_step(model, mesh=mesh)
+    logits8, lv8 = sharded(replicate(state, mesh), x, gt)
+    np.testing.assert_allclose(float(lv1["loss"]), float(lv8["loss"]),
+                               rtol=1e-5)
+    for k in logits1:
+        np.testing.assert_allclose(np.asarray(logits1[k]),
+                                   np.asarray(logits8[k]), rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_dist_utils_single_process():
     rank, world = get_dist_info()
     assert rank == 0 and world == 1

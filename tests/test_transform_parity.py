@@ -196,6 +196,22 @@ def test_rotate_rejects_unsupported_border_mode():
         T.Rotate(limit=[10, 10], border_mode=3, p=1.0)
 
 
+def test_rotate_rejects_unimplemented_interpolations():
+    """The fused warp is bilinear-image/nearest-mask only — other cv2
+    codes must fail loudly, not silently warp differently."""
+    with pytest.raises(AssertionError):
+        T.Rotate(limit=[10, 10], interpolation=0, p=1.0)
+    with pytest.raises(AssertionError):
+        T.Rotate(limit=[10, 10], mask_interpolation=1, p=1.0)
+
+
+def test_gaussian_blur_rejects_sigma_derived_ksize():
+    """albumentations blur_limit=0 (ksize from sigma) is unimplemented —
+    reject at construction, not via a trace-time crash."""
+    with pytest.raises(ValueError, match="blur_limit"):
+        T.GaussianBlur(blur_limit=0, sigma_limit=(0.5, 3.0), p=1.0)
+
+
 def test_rotate_default_border_mode_matches_albumentations_206():
     """albumentations 2.0.6 (the version the reference pins) defaults
     Rotate to cv2.BORDER_CONSTANT: the reference's serialized YAMLs

@@ -150,6 +150,11 @@ def main():
     steps_per_epoch = max(len(train_loader), 1)
     optimizer_cfg = dict(schedule_cfg.get("optimizer",
                                           dict(type="SGD", lr=0.01)))
+    if "lr" not in optimizer_cfg:
+        raise SystemExit(
+            f"schedule config {args.schedule_cfg}: the optimizer dict must "
+            f"set `lr` (the LR schedule is compiled from it); got "
+            f"{optimizer_cfg}")
     base_lr = optimizer_cfg.pop("lr")
     lr_cfg = schedule_cfg.get("lr_config")
     if lr_cfg:
@@ -200,10 +205,15 @@ def main():
     if args.auto_resume and resume_path is None:
         # each invocation allocates a fresh exp dir, so auto-resume looks
         # for the newest prior run of the same name with a last.pth
+        import re as _re
         base = Path(args.work_dir) / args.project
-        candidates = sorted(base.glob(f"{args.name}*"),
-                            key=lambda p: p.stat().st_mtime,
-                            reverse=True) if base.exists() else []
+        # increment_path only ever creates name, name2, name3, … — anchor
+        # the match so 'exp' never resumes from a sibling 'exp_ablation'
+        pat = _re.compile(_re.escape(args.name) + r"\d*$")
+        candidates = sorted(
+            (p for p in base.glob(f"{args.name}*") if pat.match(p.name)),
+            key=lambda p: p.stat().st_mtime,
+            reverse=True) if base.exists() else []
         for cand in candidates:
             # orbax backends save last.pth as a *directory* — accept both
             if cand != save_dir and (cand / "weights" / "last.pth").exists():
@@ -255,7 +265,19 @@ def main():
     uniform_val = (val_dataset.ori_img_size
                    if getattr(val_dataset, "return_ori_seg_gt", False)
                    else None)
-    eval_step = make_eval_step(model, rescale_size=uniform_val)
+    if n_devices > 1:
+        # data-parallel validation (each chip scores its batch shard);
+        # ragged tail batches fall back to the replicated step
+        _sharded_eval = make_eval_step(model, rescale_size=uniform_val,
+                                       mesh=mesh)
+        _plain_eval = make_eval_step(model, rescale_size=uniform_val)
+
+        def eval_step(state, img, gt):
+            if img.shape[0] % n_devices == 0:
+                return _sharded_eval(state, img, gt)
+            return _plain_eval(state, img, gt)
+    else:
+        eval_step = make_eval_step(model, rescale_size=uniform_val)
     best_fits = float("inf")
     # resuming must not let a worse epoch clobber the prior run's best
     seed_best = prior_best_pth if prior_best_pth is not None else (
@@ -282,7 +304,11 @@ def main():
         state, train_vars = train_one_epoch(
             epoch, train_step, state, train_loader,
             fused_aug=True,
-            base_rng=jax.random.fold_in(root_key, epoch))
+            # epoch keys live under a dedicated fold so they can never
+            # collide with the init-time folds of root_key (fold_in(·, 7)
+            # for init_cfg, fold_in(·, 1) for init dropout)
+            base_rng=jax.random.fold_in(
+                jax.random.fold_in(root_key, 0x7261696e), epoch))
         if profiling:
             jax.tree_util.tree_map(
                 lambda x: x.block_until_ready(), state.params)

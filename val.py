@@ -90,9 +90,14 @@ def main():
     hw = dataset.input_size_hw or (256, 256)
     rngs = {"params": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1)}
-    variables = model.init(rngs, jnp.zeros((1, *hw, 3), jnp.float32),
-                           jnp.zeros((1, *hw), jnp.int32), img_metas={},
-                           rescale=False, return_loss=True, train=True)
+    # jitted init off-CPU: eager flax init pays a tunnel round trip per op
+    # on remote TPUs (~4x slower for the flagship — utils/jit_init.py)
+    from image_segmentation_lab_tpu.utils.jit_init import jit_init_off_cpu
+    variables = jit_init_off_cpu(
+        lambda r, i, g: model.init(r, i, g, img_metas={}, rescale=False,
+                                   return_loss=True, train=True))(
+        rngs, jnp.zeros((1, *hw, 3), jnp.float32),
+        jnp.zeros((1, *hw), jnp.int32))
     variables, ckpt = load_checkpoint(variables, args.checkpoint)
     state = TrainState(step=jnp.zeros((), jnp.int32),
                        params=variables.get("params", {}),
