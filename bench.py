@@ -110,6 +110,11 @@ def measure(model, variables, batch: int, iters: int, repeats: int = 3):
     t = _median_secs(lambda: float(run(variables, x, iters)), repeats)
     step = max((t - rtt) / iters, 1e-9)
     throughput = batch / step
+    if batch == 1:
+        # the p50 loop would be byte-identical — reuse the timing (the
+        # CPU-baseline path at ~0.05 img/s would otherwise double its
+        # minutes-long measurement for a discarded result)
+        return float(throughput), step
     # p50 per-image latency: single-image steps, amortized the same way
     x1 = x[:1]
     t = _median_secs(lambda: float(run(variables, x1, iters)), repeats)
@@ -162,8 +167,8 @@ def measure_train(model, batch: int, iters: int, repeats: int = 3) -> float:
 
     img = jnp.asarray(np.random.RandomState(0).randn(batch, 512, 512, 3),
                       jnp.float32)
-    gt = jnp.asarray(np.random.RandomState(1).randint(0, 2,
-                                                      (batch, 512, 512)))
+    gt = jnp.asarray(np.random.RandomState(1).randint(
+        0, 2, (batch, 512, 512)).astype(np.int32))
     return _train_throughput(model, img, gt, iters, repeats)
 
 
@@ -238,10 +243,18 @@ def main():
     if not args.remeasure_cpu:
         cpu_ips = entry.get("cpu_images_per_sec")
     if cpu_ips is None and platform == "cpu":
-        # already on CPU with no cached baseline: don't build and compile a
-        # second model just to divide this machine by itself — report no
-        # ratio (vs_baseline stays null) and leave the cache unseeded
-        pass
+        if args.remeasure_cpu:
+            # an explicit refresh on a CPU host: seed the cache from the
+            # measurement just taken (same machine, same computation) so
+            # the flag is never a silent no-op
+            cached.setdefault("entries", {})[str(depth)] = {
+                "cpu_images_per_sec": throughput,
+                "note": f"DeepLabV3-R{depth} 512x512 slide inference, "
+                        f"host CPU (seeded from a batch-{batch} run)"}
+            BASELINE_CACHE.write_text(json.dumps(cached, indent=2))
+            cpu_ips = throughput
+        # else: no cached baseline on a CPU host — don't divide this
+        # machine by itself silently; vs_baseline stays null
     elif cpu_ips is None:
         # measure the same computation on host CPU, few iterations
         cpu_dev = jax.devices("cpu")[0]
