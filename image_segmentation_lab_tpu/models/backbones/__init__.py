@@ -1,5 +1,6 @@
 from .hrnet import HRModule, HRNet
 from .icnet import ICNet
+from .mit import MixVisionTransformer
 from .mobilenet_v2 import MobileNetV2
 from .mobilenet_v3 import MobileNetV3
 from .resnet import ResNet, ResNetV1c, ResNetV1d

@@ -3,4 +3,5 @@ from .decode_head import BaseDecodeHead
 from .fcn_head import FCNHead
 from .lraspp_head import LRASPPHead
 from .psp_head import PPM, PSPHead
+from .segformer_head import SegFormerHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
