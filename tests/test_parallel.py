@@ -58,6 +58,48 @@ def test_sharded_train_step_matches_single_device():
     assert_trees_equal(state1.params, state8.params, rtol=1e-4, atol=1e-5)
 
 
+def test_sharded_train_step_matches_single_device_mit():
+    """The transformer path (MiT attention einsums + LayerNorm + SegFormer
+    head) must shard over the DP mesh exactly like the CNN path — per-image
+    LayerNorm has no cross-device stats, so DP == single-device bitwise up
+    to reduction order."""
+    cfg = dict(
+        type="EncoderDecoder",
+        backbone=dict(type="MixVisionTransformer", embed_dims=8,
+                      num_stages=2, num_layers=(1, 1), num_heads=(1, 2),
+                      patch_sizes=(7, 3), strides=(4, 2), sr_ratios=(2, 1),
+                      out_indices=(0, 1), mlp_ratio=2, drop_path_rate=0.0),
+        decode_head=dict(type="SegFormerHead", in_channels=[8, 16],
+                         in_index=(0, 1), input_transform="multiple_select",
+                         channels=8, num_classes=2, dropout_ratio=0,
+                         norm_cfg=dict(type="SyncBatchNorm",
+                                       requires_grad=True),
+                         loss_decode=dict(type="CrossEntropyLoss")),
+        test_cfg=dict(mode="whole"))
+    model = build_segmentor(cfg)
+    tx = build_optimizer(dict(type="AdamW", lr=1e-3, weight_decay=0.01))
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 32, 32, 3), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).randint(0, 2, (8, 32, 32)))
+
+    state1 = create_train_state(model, rng, x[:1], gt[:1], tx)
+    step1 = make_train_step(model, tx, donate=False)
+    mesh = get_mesh(8)
+    state8 = replicate(create_train_state(model, rng, x[:1], gt[:1], tx),
+                       mesh)
+    step8 = make_sharded_train_step(model, tx, mesh, donate=False)
+    xs, gts = shard_batch((x, gt), mesh)
+
+    for i in range(2):
+        k = jax.random.fold_in(rng, i)
+        state1, lv1 = step1(state1, x, gt, k)
+        state8, lv8 = step8(state8, xs, gts, k)
+        np.testing.assert_allclose(float(lv1["loss"]), float(lv8["loss"]),
+                                   rtol=1e-5)
+    from helpers import assert_trees_equal
+    assert_trees_equal(state1.params, state8.params, rtol=1e-4, atol=1e-5)
+
+
 def test_multichip_slide_inference_matches_single():
     from image_segmentation_lab_tpu.parallel.slide import \
         make_multichip_slide_inference
