@@ -2,4 +2,6 @@ from .dist import (all_reduce_scalar, barrier, get_dist_info, init_dist,
                    is_master, master_only)
 from .mesh import (batch_sharding, get_mesh, make_sharded_eval_step,
                    make_sharded_metric_eval_step, make_sharded_train_step,
-                   replicate, replicated, shard_batch)
+                   make_spatial_sharded_eval_step,
+                   make_spatial_sharded_train_step, replicate, replicated,
+                   shard_batch, shard_batch_spatial, spatial_sharding)

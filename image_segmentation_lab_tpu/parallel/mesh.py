@@ -121,6 +121,71 @@ def make_sharded_train_step(model, tx, mesh: Mesh, axis: str = "data",
         donate_argnums=(0,) if donate else ())
 
 
+def spatial_sharding(mesh: Mesh, data_axis: str = "data",
+                     space_axis: str = "space") -> NamedSharding:
+    """(N, H, ...) arrays split over BOTH mesh axes: batch over
+    ``data_axis``, image rows over ``space_axis``."""
+    return NamedSharding(mesh, P(data_axis, space_axis))
+
+
+def shard_batch_spatial(batch, mesh: Mesh, data_axis: str = "data",
+                        space_axis: str = "space"):
+    """Device_put (img, gt, ...) with dim 0 split over ``data_axis`` and
+    dim 1 (image height) split over ``space_axis``."""
+    sharding = spatial_sharding(mesh, data_axis, space_axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_spatial_sharded_train_step(model, tx, mesh: Mesh,
+                                    data_axis: str = "data",
+                                    space_axis: str = "space",
+                                    donate: bool = True):
+    """2-D (data × space) SPMD train step: batch over ``data_axis`` AND
+    image height over ``space_axis``.
+
+    Beyond-reference capability (the reference's DDP shards batches only,
+    SURVEY.md §2.9): with H sharded, each chip holds ``1/space`` of every
+    activation map, so per-chip activation memory scales down with the mesh
+    — training resolutions whose activations exceed one chip's HBM becomes
+    possible.  No hand-written halo code: XLA's SPMD partitioner inserts
+    the conv halo exchanges (collective-permutes of the kernel-overlap rows
+    over ICI) and turns every spatial reduction — BatchNorm's (N,H,W)
+    statistics, global pooling, the loss mean — into partial sums + psum,
+    so SyncBN and loss semantics are *identical* to single-device
+    execution (pinned by ``tests/test_parallel.py``).
+
+    The fused aug pipeline is deliberately not accepted here: its geometric
+    transforms gather pixels across the full H extent, which under an
+    H-sharding degenerates into per-op reshards.  Augment on the host or
+    use the 1-D DP step (``make_sharded_train_step``) when fusing aug.
+    """
+    from ..train_state import build_train_step_fn
+
+    rep = replicated(mesh)
+    data = spatial_sharding(mesh, data_axis, space_axis)
+    return jax.jit(
+        build_train_step_fn(model, tx, None),
+        in_shardings=(rep, data, data, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,) if donate else ())
+
+
+def make_spatial_sharded_eval_step(model, mesh: Mesh,
+                                   data_axis: str = "data",
+                                   space_axis: str = "space"):
+    """2-D (data × space) inference: probabilities for a batch sharded over
+    both axes (whole-image mode; the window-sharded slide path in
+    ``parallel/slide.py`` covers slide mode)."""
+    rep = replicated(mesh)
+    data = spatial_sharding(mesh, data_axis, space_axis)
+
+    def eval_step(variables, img):
+        return model.apply(variables, img, method="inference")
+
+    return jax.jit(eval_step, in_shardings=(rep, data), out_shardings=data)
+
+
 def make_sharded_eval_step(model, mesh: Mesh, axis: str = "data"):
     """Data-parallel inference step: probabilities for a sharded batch."""
     rep = replicated(mesh)

@@ -100,6 +100,60 @@ def test_sharded_train_step_matches_single_device_mit():
     assert_trees_equal(state1.params, state8.params, rtol=1e-4, atol=1e-5)
 
 
+def test_spatial_sharded_train_step_matches_single_device():
+    """2-D (data × space) sharding — batch over 4 chips AND image height
+    over 2 — must reproduce single-device training: XLA inserts the conv
+    halo exchanges and turns BatchNorm's (N,H,W) statistics into
+    psums, so SyncBN/loss semantics are unchanged."""
+    from image_segmentation_lab_tpu.parallel import (
+        make_spatial_sharded_train_step, shard_batch_spatial)
+
+    model = build_segmentor(small_cfg())
+    tx = build_optimizer(dict(type="SGD", lr=0.1, momentum=0.9))
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 32, 32, 3), jnp.float32)
+    gt = jnp.asarray(np.random.RandomState(1).randint(0, 2, (8, 32, 32)))
+
+    state1 = create_train_state(model, rng, x[:1], gt[:1], tx)
+    step1 = make_train_step(model, tx, donate=False)
+
+    mesh = get_mesh(8, axis_names=("data", "space"), shape=(4, 2))
+    state8 = replicate(create_train_state(model, rng, x[:1], gt[:1], tx),
+                       mesh)
+    step8 = make_spatial_sharded_train_step(model, tx, mesh, donate=False)
+    xs, gts = shard_batch_spatial((x, gt), mesh)
+
+    for i in range(3):
+        k = jax.random.fold_in(rng, i)
+        state1, lv1 = step1(state1, x, gt, k)
+        state8, lv8 = step8(state8, xs, gts, k)
+        np.testing.assert_allclose(float(lv1["loss"]), float(lv8["loss"]),
+                                   rtol=1e-5)
+    from helpers import assert_trees_equal
+    assert_trees_equal(state1.params, state8.params, rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_sharded_eval_matches_single_device():
+    """Whole-image inference with H split across chips == single device
+    (halo exchange correctness through strided convs + the head resize)."""
+    from image_segmentation_lab_tpu.parallel import (
+        make_spatial_sharded_eval_step, shard_batch_spatial)
+
+    model = build_segmentor(small_cfg())
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 64, 64, 3), jnp.float32)
+    variables = model.init(rng, x[:1], train=False)
+
+    ref = model.apply(variables, x, method="inference")
+
+    mesh = get_mesh(8, axis_names=("data", "space"), shape=(2, 4))
+    vrep = replicate(variables, mesh)
+    xs = shard_batch_spatial(x, mesh)
+    out = make_spatial_sharded_eval_step(model, mesh)(vrep, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_multichip_slide_inference_matches_single():
     from image_segmentation_lab_tpu.parallel.slide import \
         make_multichip_slide_inference
