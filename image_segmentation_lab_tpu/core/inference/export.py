@@ -1,0 +1,104 @@
+"""AOT model export for serving — ``jax.export`` → StableHLO artifacts.
+
+Beyond-reference capability (the reference deploys by unpickling the
+training checkpoint into the full Python model zoo,
+``/root/reference/core/inference/infer.py:35-90``): here the jitted
+inference program is exported as a **serialized StableHLO artifact** that a
+serving process can load and run with *no model code, no config and no
+checkpoint* — the weights are embedded as program constants, and the
+compiled-once semantics match what the training process validated.
+
+Properties of the artifact:
+
+* **self-contained**: one file = program + weights + input signature;
+* **device-agnostic**: lowered for several platforms at once
+  (``platforms=('tpu', 'cpu')`` by default), so the same artifact serves
+  on a TPU pod and on a CPU canary;
+* **batch-polymorphic** (optional): the batch dimension can be exported
+  symbolically so one artifact serves any batch size — the serving runtime
+  compiles per concrete batch on first use (whole-image mode only: slide
+  inference's window gather uses the static batch to size its
+  ``dynamic_slice``/stitch program, which is the better trade for slide
+  anyway — its geometry is resolution-fixed);
+* **versioned**: jax.export's calling-convention versioning guarantees a
+  loadable artifact keeps executing across jax upgrades.
+
+``export_inference`` builds the artifact, ``save_exported``/
+``load_exported`` move it through files, and ``serve_fn`` wraps a loaded
+artifact as a plain ``fn(img) -> probabilities`` callable.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Sequence, Tuple, Union
+
+FILE_SUFFIX = ".stablehlo"
+
+
+def export_inference(model, variables,
+                     input_hw: Tuple[int, int],
+                     batch: Optional[int] = 1,
+                     platforms: Sequence[str] = ("tpu", "cpu"),
+                     dtype=None):
+    """Export ``model.apply(variables, img, method='inference')`` (the
+    whole/slide + sigmoid/softmax path the evaluator consumes) as a
+    ``jax.export.Exported`` with the weights embedded as constants.
+
+    ``batch=None`` exports a symbolic batch dimension (whole mode only —
+    see module docstring).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    dtype = dtype or jnp.float32
+    h, w = input_hw
+
+    def fn(img):
+        return model.apply(variables, img, method="inference")
+
+    if batch is None:
+        mode = (dict(model.test_cfg or {})).get("mode", "whole")
+        if mode == "slide":
+            raise ValueError(
+                "batch-polymorphic export supports whole mode only; slide "
+                "inference sizes its window gather from the static batch "
+                "(pass a concrete batch for slide)")
+        (b,) = jax_export.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct((b, h, w, 3), dtype)
+    else:
+        spec = jax.ShapeDtypeStruct((batch, h, w, 3), dtype)
+    return jax_export.export(jax.jit(fn), platforms=tuple(platforms))(spec)
+
+
+def save_exported(exported, path: Union[str, Path]) -> Path:
+    path = Path(path)
+    if path.suffix != FILE_SUFFIX:
+        path = path.with_suffix(path.suffix + FILE_SUFFIX)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(exported.serialize())
+    return path
+
+
+def load_exported(path: Union[str, Path]):
+    from jax import export as jax_export
+    return jax_export.deserialize(Path(path).read_bytes())
+
+
+def serve_fn(path: Union[str, Path]):
+    """Load an artifact and return ``fn(img) -> probabilities``.
+
+    The returned callable accepts numpy or jax arrays whose shape matches
+    the exported signature (any batch for batch-polymorphic artifacts) and
+    runs on whatever platform the host jax runtime provides, as long as the
+    artifact was lowered for it.
+    """
+    exported = load_exported(path)
+
+    def fn(img):
+        return exported.call(img)
+
+    fn.exported = exported
+    fn.in_avals = exported.in_avals
+    return fn
