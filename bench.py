@@ -195,6 +195,43 @@ def measure_train_aug(model, batch: int = 8, iters: int = 5,
                              pipeline=pipeline)
 
 
+def measure_segformer_whole(iters: int, repeats: int = 3,
+                            batch: int = 16) -> float:
+    """Whole-image 640² eval throughput of SegFormer MiT-B0 (the
+    beyond-reference transformer family) — amortized in-jit like
+    ``measure()``."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_segmentation_lab_tpu.core.fileio import load_python_config
+    from image_segmentation_lab_tpu.models.builder import build_segmentor
+    from image_segmentation_lab_tpu.utils.jit_init import jit_init_off_cpu
+
+    cfg = load_python_config(
+        REPO_ROOT / "configs/network/segformer/segformer_mit-b0.py")["model"]
+    model = build_segmentor(cfg)
+    img = jnp.zeros((1, 640, 640, 3), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1)}
+    variables = jit_init_off_cpu(
+        lambda r, x: model.init(r, x, method="inference"))(rngs, img)
+
+    def loop(v, x, k):
+        def body(i, acc):
+            out = model.apply(v, x + (acc * 1e-30).astype(x.dtype),
+                              method="inference")
+            return acc + out.sum().astype(jnp.float32) * 1e-30 + 1.0
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+    run = jax.jit(loop, static_argnums=2)
+    x = jnp.asarray(np.random.RandomState(0).randn(batch, 640, 640, 3),
+                    jnp.float32)
+    rtt = _rtt(x)
+    t = _median_secs(lambda: float(run(variables, x, iters)), repeats)
+    return batch / max((t - rtt) / iters, 1e-9)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -281,6 +318,10 @@ def main():
         if not args.quick:  # 640^2 on host CPU would dominate a smoke run
             train640_aug_ips = measure_train_aug(model)
 
+    segformer_ips = None
+    if not args.quick:
+        segformer_ips = measure_segformer_whole(iters=max(iters, 5))
+
     result = {
         "metric": METRIC,
         "value": round(throughput, 3),
@@ -297,6 +338,8 @@ def main():
                                      if train_ips else None),
             "train640_aug_images_per_sec": (round(train640_aug_ips, 3)
                                             if train640_aug_ips else None),
+            "segformer_b0_whole640_images_per_sec": (
+                round(segformer_ips, 3) if segformer_ips else None),
             "quick": args.quick,
         },
     }
