@@ -5,3 +5,4 @@ from .lraspp_head import LRASPPHead
 from .psp_head import PPM, PSPHead
 from .segformer_head import SegFormerHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
+from .uper_head import UPerHead

@@ -605,3 +605,71 @@ def test_cascade_encoder_decoder_chains_stage_outputs(rng):
     v2 = dict(variables, params=mut)
     jax_out2 = seg.apply(v2, jnp.asarray(x), method="encode_decode")
     assert float(jnp.max(jnp.abs(jax_out2 - jax_out))) > 1e-4
+
+
+# ----------------------------------------------------------------- UPerHead
+def t_uper_head(params, stats, feats, pool_scales=(1, 2, 3, 6)):
+    """Torch-functional UPerNet decoder (Xiao et al., 2018; the public
+    UPerHead semantics): PPM + 3x3 bottleneck on the coarsest level, 1x1
+    laterals, top-down adds of bilinearly upsampled coarser levels, 3x3
+    smoothing convs, concat-all → 3x3 fuse → conv_seg."""
+    x = feats[-1]
+    outs = [x]
+    for si, s in enumerate(pool_scales):
+        b = TF.adaptive_avg_pool2d(x, s)
+        b = t_conv_module(b, params, stats, f"psp_modules/branches_{si}",
+                          k=1, act="relu")
+        outs.append(torch.nn.functional.interpolate(
+            b, size=x.shape[2:], mode="bilinear", align_corners=False))
+    psp = t_conv_module(torch.cat(outs, dim=1), params, stats,
+                        "psp_bottleneck", k=3, act="relu")
+
+    laterals = [t_conv_module(feats[i], params, stats,
+                              f"lateral_convs_{i}", k=1, act="relu")
+                for i in range(len(feats) - 1)] + [psp]
+    for i in range(len(laterals) - 1, 0, -1):
+        laterals[i - 1] = laterals[i - 1] + torch.nn.functional.interpolate(
+            laterals[i], size=laterals[i - 1].shape[2:], mode="bilinear",
+            align_corners=False)
+    fpn_outs = [t_conv_module(laterals[i], params, stats,
+                              f"fpn_convs_{i}", k=3, act="relu")
+                for i in range(len(laterals) - 1)] + [laterals[-1]]
+    fpn_outs = [fpn_outs[0]] + [
+        torch.nn.functional.interpolate(o, size=fpn_outs[0].shape[2:],
+                                        mode="bilinear",
+                                        align_corners=False)
+        for o in fpn_outs[1:]]
+    out = t_conv_module(torch.cat(fpn_outs, dim=1), params, stats,
+                        "fpn_bottleneck", k=3, act="relu")
+    p = P(params, "conv_seg")
+    return tconv(out, p["weight"], bias=p["bias"])
+
+
+def test_uper_head_matches_torch(rng):
+    """Golden numerics for the beyond-reference UPerHead: same weights
+    through the flax module and the torch-functional twin, across a
+    4-level pyramid with a non-integer (7→14) upsampling ratio."""
+    from image_segmentation_lab_tpu.core.registry_hub import DECODEHEAD
+    chans = [16, 24, 32, 40]
+    cfg = dict(type="UPerHead", in_channels=chans, in_index=(0, 1, 2, 3),
+               input_transform="multiple_select", pool_scales=(1, 2, 3, 6),
+               channels=24, dropout_ratio=0.0, num_classes=5,
+               norm_cfg=dict(type="BN", requires_grad=True),
+               align_corners=False,
+               loss_decode=dict(type="CrossEntropyLoss"))
+    head = build_module_from_cfg(cfg, DECODEHEAD)
+    feats = [rng.randn(2, s, s, c).astype(np.float32)
+             for s, c in zip((56, 28, 14, 7), chans)]
+    jfeats = tuple(jnp.asarray(f) for f in feats)
+    variables = head.init({"params": jax.random.PRNGKey(0),
+                           "dropout": jax.random.PRNGKey(1)},
+                          jfeats, train=False)
+    variables = randomize(variables, seed=21)
+    jax_logits = head.apply(variables, jfeats, train=False)
+    torch_logits = t_uper_head(
+        variables["params"], variables["batch_stats"],
+        [_t(f.transpose(0, 3, 1, 2)) for f in feats])
+    assert_feature_parity(jax_logits, torch_logits, rtol=5e-3, atol=5e-4)
+    j_arg = np.argmax(np.asarray(jax_logits), -1)
+    t_arg = torch_logits.numpy().transpose(0, 2, 3, 1).argmax(-1)
+    np.testing.assert_array_equal(j_arg, t_arg)
