@@ -55,6 +55,13 @@ def parse_args():
                         choices=["pickle", "orbax", "orbax_async"],
                         help="checkpoint format; orbax_async overlaps "
                              "the write with the next epoch")
+    parser.add_argument("--space-shards", type=int, default=1,
+                        help="shard image height over a second mesh axis "
+                             "('space') in addition to data parallelism: "
+                             "a (devices/N, N) data×space mesh; per-chip "
+                             "activation memory scales down with N "
+                             "(augmentation then runs as its own "
+                             "batch-sharded program ahead of the step)")
     parser.add_argument("--aug-shard-local", action="store_true",
                         help="multi-device only: run the fused aug "
                              "pipeline per-chip under shard_map (zero aug "
@@ -243,7 +250,49 @@ def main():
     # cross-replica BN statistics inserted by XLA (SURVEY.md §2.9)
     n_devices = jax.device_count()
     aug_pipeline = train_dataset.device_pipeline  # fused into the step
-    if n_devices > 1:
+    if n_devices > 1 and args.space_shards > 1:
+        # 2-D (data × space) mesh: batch over 'data' AND image height over
+        # 'space' — per-chip activation memory scales down with the space
+        # axis (XLA inserts the conv halo exchanges; parity pinned by
+        # tests/test_parallel.py).  The aug pipeline cannot fuse into an
+        # H-sharded step (its geometric gathers span the full height), so
+        # it runs as its own batch-sharded program first, with the SAME
+        # rng plan as the fused step (split → aug, dropout — the
+        # fused==external equivalence of tests/test_neck_and_training.py).
+        from image_segmentation_lab_tpu.parallel import (
+            get_mesh, make_spatial_sharded_train_step, replicate,
+            shard_batch, shard_batch_spatial)
+        if n_devices % args.space_shards:
+            raise SystemExit(
+                f"--space-shards {args.space_shards} must divide the "
+                f"device count {n_devices}")
+        mesh = get_mesh(axis_names=("data", "space"),
+                        shape=(n_devices // args.space_shards,
+                               args.space_shards))
+        state = replicate(state, mesh)
+        _step = make_spatial_sharded_train_step(model, tx, mesh)
+        _aug = None
+        if aug_pipeline is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            _aug = jax.jit(
+                aug_pipeline.batched_apply,
+                in_shardings=(NamedSharding(mesh, PartitionSpec()),
+                              NamedSharding(mesh, PartitionSpec("data")),
+                              NamedSharding(mesh, PartitionSpec("data"))),
+                out_shardings=(NamedSharding(mesh, PartitionSpec("data")),
+                               NamedSharding(mesh, PartitionSpec("data"))))
+
+        def train_step(state, img, gt, rng):
+            if _aug is not None:
+                aug_rng, rng = jax.random.split(rng)
+                img, gt = shard_batch((img, gt), mesh)
+                img, gt = _aug(aug_rng, img, gt)
+            img, gt = shard_batch_spatial((img, gt), mesh)
+            return _step(state, img, gt, rng)
+
+        print(f"2-D data×space parallel over {n_devices} devices "
+              f"(space={args.space_shards}): {mesh}")
+    elif n_devices > 1:
         from image_segmentation_lab_tpu.parallel import (
             get_mesh, make_sharded_train_step, replicate, shard_batch)
         mesh = get_mesh()
