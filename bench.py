@@ -80,21 +80,19 @@ def _rtt(x, repeats: int = 3) -> float:
     return _median_secs(lambda: float(noop(x)), repeats)
 
 
-def measure(model, variables, batch: int, iters: int, repeats: int = 3):
-    """Throughput (img/s) and p50 latency (s) of jitted slide inference.
-
-    ``iters`` inference steps run inside ONE jit (``lax.fori_loop``, each
-    step's input perturbed by the running scalar so XLA cannot CSE them) and
-    a single scalar comes back to host.  On the tunneled 'axon' platform a
-    per-step host fetch costs a ~30 ms round trip (and
-    ``block_until_ready`` returns before remote execution finishes, so it
-    cannot be used either) — amortizing over ``iters`` steps and
-    subtracting the measured no-op round-trip yields the device-rate a
-    co-located host would see.
-    """
+def _amortized_infer_secs_per_step(model, variables, x, iters: int,
+                                   repeats: int) -> float:
+    """Seconds per inference step on batch ``x``: ``iters`` steps inside ONE
+    jit (``lax.fori_loop``, each step's input perturbed by the running
+    scalar so XLA cannot CSE them) and a single scalar back to host.  On
+    the tunneled 'axon' platform a per-step host fetch costs a ~30 ms round
+    trip (and ``block_until_ready`` returns before remote execution
+    finishes, so it cannot be used either) — amortizing over ``iters``
+    steps and subtracting the measured no-op round-trip yields the
+    device-rate a co-located host would see.  The single shared timing body
+    for every inference surface in this file."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     def loop(v, x, k):
         def body(i, acc):
@@ -104,11 +102,21 @@ def measure(model, variables, batch: int, iters: int, repeats: int = 3):
         return jax.lax.fori_loop(0, k, body, jnp.float32(0))
 
     run = jax.jit(loop, static_argnums=2)
-    x = jnp.asarray(np.random.RandomState(0).randn(batch, 512, 512, 3),
-                    jnp.float32)
     rtt = _rtt(x)
     t = _median_secs(lambda: float(run(variables, x, iters)), repeats)
-    step = max((t - rtt) / iters, 1e-9)
+    return max((t - rtt) / iters, 1e-9)
+
+
+def measure(model, variables, batch: int, iters: int, repeats: int = 3):
+    """Throughput (img/s) and p50 latency (s) of jitted slide inference
+    (see ``_amortized_infer_secs_per_step`` for the timing method)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    x = jnp.asarray(np.random.RandomState(0).randn(batch, 512, 512, 3),
+                    jnp.float32)
+    step = _amortized_infer_secs_per_step(model, variables, x, iters,
+                                          repeats)
     throughput = batch / step
     if batch == 1:
         # the p50 loop would be byte-identical — reuse the timing (the
@@ -116,9 +124,8 @@ def measure(model, variables, batch: int, iters: int, repeats: int = 3):
         # minutes-long measurement for a discarded result)
         return float(throughput), step
     # p50 per-image latency: single-image steps, amortized the same way
-    x1 = x[:1]
-    t = _median_secs(lambda: float(run(variables, x1, iters)), repeats)
-    p50 = max((t - rtt) / iters, 1e-9)
+    p50 = _amortized_infer_secs_per_step(model, variables, x[:1], iters,
+                                         repeats)
     return float(throughput), p50
 
 
@@ -198,7 +205,7 @@ def measure_train_aug(model, batch: int = 8, iters: int = 5,
 def measure_segformer_whole(iters: int, repeats: int = 3,
                             batch: int = 16) -> float:
     """Whole-image 640² eval throughput of SegFormer MiT-B0 (the
-    beyond-reference transformer family) — amortized in-jit like
+    beyond-reference transformer family) — same amortized timing body as
     ``measure()``."""
     import jax
     import jax.numpy as jnp
@@ -216,20 +223,10 @@ def measure_segformer_whole(iters: int, repeats: int = 3,
             "dropout": jax.random.PRNGKey(1)}
     variables = jit_init_off_cpu(
         lambda r, x: model.init(r, x, method="inference"))(rngs, img)
-
-    def loop(v, x, k):
-        def body(i, acc):
-            out = model.apply(v, x + (acc * 1e-30).astype(x.dtype),
-                              method="inference")
-            return acc + out.sum().astype(jnp.float32) * 1e-30 + 1.0
-        return jax.lax.fori_loop(0, k, body, jnp.float32(0))
-
-    run = jax.jit(loop, static_argnums=2)
     x = jnp.asarray(np.random.RandomState(0).randn(batch, 640, 640, 3),
                     jnp.float32)
-    rtt = _rtt(x)
-    t = _median_secs(lambda: float(run(variables, x, iters)), repeats)
-    return batch / max((t - rtt) / iters, 1e-9)
+    return batch / _amortized_infer_secs_per_step(model, variables, x,
+                                                  iters, repeats)
 
 
 def main():
@@ -243,6 +240,9 @@ def main():
     parser.add_argument("--no-train-bench", action="store_true",
                         help="skip the train-step throughput measurement "
                              "(saves one extra compile)")
+    parser.add_argument("--no-zoo-bench", action="store_true",
+                        help="skip the SegFormer-B0 extra measurement "
+                             "(saves its init + compile)")
     args = parser.parse_args()
 
     if args.quick:
@@ -319,7 +319,7 @@ def main():
             train640_aug_ips = measure_train_aug(model)
 
     segformer_ips = None
-    if not args.quick:
+    if not args.quick and not args.no_zoo_bench:
         segformer_ips = measure_segformer_whole(iters=max(iters, 5))
 
     result = {

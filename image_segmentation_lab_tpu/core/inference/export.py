@@ -94,10 +94,16 @@ def serve_fn(path: Union[str, Path]):
     runs on whatever platform the host jax runtime provides, as long as the
     artifact was lowered for it.
     """
+    import jax
+
     exported = load_exported(path)
+    # jit the call: Exported.call alone re-traces its custom-vjp wrapper on
+    # every invocation (~0.36 ms/call vs ~0.026 ms jitted on this machine —
+    # a constant tax a serving hot path should not pay)
+    jitted = jax.jit(exported.call)
 
     def fn(img):
-        return exported.call(img)
+        return jitted(img)
 
     fn.exported = exported
     fn.in_avals = exported.in_avals

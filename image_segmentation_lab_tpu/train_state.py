@@ -202,7 +202,7 @@ def make_tta_step(model, scales=(0.75, 1.0, 1.25)):
 
 
 def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None,
-                   mesh=None):
+                   mesh=None, batch_axes: Tuple[str, ...] = ("data",)):
     """Jitted validation step: losses + per-head evaluator-ready scores.
 
     Mirrors ``validate_one_epoch``'s per-batch model call
@@ -216,6 +216,10 @@ def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None,
     loss means psum'd (replicated) — otherwise a multi-device run would
     redundantly evaluate the full batch on every chip.  The batch size
     must divide the mesh; callers keep a plain step for ragged tails.
+
+    ``batch_axes=('data', 'space')`` additionally shards image height over
+    the second mesh axis (the 2-D-mesh analog — per-chip eval activations
+    then scale down exactly like the spatial train step's).
     """
     thr = head_threshold(model)
 
@@ -233,7 +237,9 @@ def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None,
 
     if mesh is None:
         return jax.jit(eval_step)
-    from .parallel.mesh import batch_sharding, replicated
-    rep, data = replicated(mesh), batch_sharding(mesh)
+    from jax.sharding import NamedSharding, PartitionSpec
+    from .parallel.mesh import replicated
+    rep = replicated(mesh)
+    data = NamedSharding(mesh, PartitionSpec(*batch_axes))
     return jax.jit(eval_step, in_shardings=(rep, data, data),
                    out_shardings=(data, rep))

@@ -250,6 +250,16 @@ def main():
     # cross-replica BN statistics inserted by XLA (SURVEY.md §2.9)
     n_devices = jax.device_count()
     aug_pipeline = train_dataset.device_pipeline  # fused into the step
+    if args.space_shards > 1 and n_devices == 1:
+        raise SystemExit(
+            f"--space-shards {args.space_shards} needs more than one "
+            "device (found 1) — spatial partitioning would silently be "
+            "a no-op")
+    if args.space_shards > 1 and args.aug_shard_local:
+        raise SystemExit(
+            "--aug-shard-local is not supported with --space-shards: "
+            "augmentation there runs as its own batch-sharded program "
+            "ahead of the spatially partitioned step")
     if n_devices > 1 and args.space_shards > 1:
         # 2-D (data × space) mesh: batch over 'data' AND image height over
         # 'space' — per-chip activation memory scales down with the space
@@ -260,29 +270,35 @@ def main():
         # rng plan as the fused step (split → aug, dropout — the
         # fused==external equivalence of tests/test_neck_and_training.py).
         from image_segmentation_lab_tpu.parallel import (
-            get_mesh, make_spatial_sharded_train_step, replicate,
-            shard_batch, shard_batch_spatial)
+            batch_sharding, get_mesh, make_spatial_sharded_train_step,
+            replicate, replicated, shard_batch, shard_batch_spatial)
         if n_devices % args.space_shards:
             raise SystemExit(
                 f"--space-shards {args.space_shards} must divide the "
                 f"device count {n_devices}")
+        data_shards = n_devices // args.space_shards
         mesh = get_mesh(axis_names=("data", "space"),
-                        shape=(n_devices // args.space_shards,
-                               args.space_shards))
+                        shape=(data_shards, args.space_shards))
         state = replicate(state, mesh)
         _step = make_spatial_sharded_train_step(model, tx, mesh)
         _aug = None
         if aug_pipeline is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
             _aug = jax.jit(
                 aug_pipeline.batched_apply,
-                in_shardings=(NamedSharding(mesh, PartitionSpec()),
-                              NamedSharding(mesh, PartitionSpec("data")),
-                              NamedSharding(mesh, PartitionSpec("data"))),
-                out_shardings=(NamedSharding(mesh, PartitionSpec("data")),
-                               NamedSharding(mesh, PartitionSpec("data"))))
+                in_shardings=(replicated(mesh), batch_sharding(mesh),
+                              batch_sharding(mesh)),
+                out_shardings=(batch_sharding(mesh), batch_sharding(mesh)))
 
         def train_step(state, img, gt, rng):
+            # fail fast with a clear message instead of jax's device_put
+            # divisibility error mid-step
+            if img.shape[0] % data_shards or img.shape[1] % args.space_shards:
+                raise SystemExit(
+                    f"--space-shards {args.space_shards}: batch "
+                    f"{img.shape[0]} must divide by {data_shards} (the "
+                    f"data axis) and image height {img.shape[1]} by "
+                    f"{args.space_shards} — adjust train_batch_size or "
+                    "the pipeline's target size")
             if _aug is not None:
                 aug_rng, rng = jax.random.split(rng)
                 img, gt = shard_batch((img, gt), mesh)
@@ -316,13 +332,19 @@ def main():
                    else None)
     if n_devices > 1:
         # data-parallel validation (each chip scores its batch shard);
+        # with --space-shards the eval batch is sharded over BOTH axes so
+        # per-chip eval activations scale down like the train step's;
         # ragged tail batches fall back to the replicated step
+        eval_sp = max(args.space_shards, 1)
+        eval_axes = ("data", "space") if eval_sp > 1 else ("data",)
+        eval_data_shards = n_devices // eval_sp
         _sharded_eval = make_eval_step(model, rescale_size=uniform_val,
-                                       mesh=mesh)
+                                       mesh=mesh, batch_axes=eval_axes)
         _plain_eval = make_eval_step(model, rescale_size=uniform_val)
 
         def eval_step(state, img, gt):
-            if img.shape[0] % n_devices == 0:
+            if (img.shape[0] % eval_data_shards == 0
+                    and img.shape[1] % eval_sp == 0):
                 return _sharded_eval(state, img, gt)
             return _plain_eval(state, img, gt)
     else:
