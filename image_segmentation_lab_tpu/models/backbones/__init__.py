@@ -1,3 +1,4 @@
+from .convnext import ConvNeXt
 from .hrnet import HRModule, HRNet
 from .icnet import ICNet
 from .mit import MixVisionTransformer
