@@ -5,4 +5,5 @@ from .mit import MixVisionTransformer
 from .mobilenet_v2 import MobileNetV2
 from .mobilenet_v3 import MobileNetV3
 from .resnet import ResNet, ResNetV1c, ResNetV1d
+from .swin import SwinTransformer
 from .unet import UNet

@@ -152,24 +152,30 @@ class Conv3d(_ConvND):
 
 
 class Linear(nn.Module):
-    """Torch-style dense layer (used by heads/tools; not in a registry)."""
+    """Torch-style dense layer (used by heads/tools; not in a registry).
+
+    ``weight_init``/``bias_init`` override the torch kaiming-uniform
+    default (same override contract as the conv modules)."""
 
     in_features: int
     out_features: int
     bias: bool = True
     trainable: bool = True
+    weight_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        weight = create_param(self, "weight",
-                              kaiming_uniform_torch(self.in_features),
+        w_init = self.weight_init or kaiming_uniform_torch(self.in_features)
+        weight = create_param(self, "weight", w_init,
                               (self.in_features, self.out_features),
                               self.trainable)
         x, weight = compute_cast(x, weight)
         out = x @ weight
         if self.bias:
-            b = create_param(self, "bias",
-                             kaiming_uniform_torch(self.in_features),
+            b_init = self.bias_init or kaiming_uniform_torch(
+                self.in_features)
+            b = create_param(self, "bias", b_init,
                              (self.out_features,), self.trainable)
             out = out + b.astype(out.dtype)
         return out
