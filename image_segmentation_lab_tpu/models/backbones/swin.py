@@ -113,8 +113,8 @@ class WindowMSA(nn.Module):
     trainable: bool = True
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None,
-                 train: bool = False):
+    def __call__(self, x, train: bool = False, *,
+                 mask: Optional[jnp.ndarray] = None):
         B, L, C = x.shape                      # B = N·nW, L = ws²
         h, d = self.num_heads, self.embed_dims // self.num_heads
         ws = self.window_size
@@ -179,10 +179,14 @@ class SwinBlock(nn.Module):
         hp, wp = -(-H // ws) * ws, -(-W // ws) * ws
 
         y = LayerNorm(C, trainable=self.trainable, name="norm1")(x)
-        if shift:
-            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+        # canonical order: pad to the window grid FIRST, then cyclic-shift
+        # the padded map — the mask below models the roll as modulo (hp,wp),
+        # so rolling before padding would let wrapped border tokens attend
+        # pad tokens / lose their legitimate shifted-window partners
         if (hp, wp) != (H, W):
             y = jnp.pad(y, ((0, 0), (0, hp - H), (0, wp - W), (0, 0)))
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         mask = None
         if shift or (hp, wp) != (H, W):
             mask = jnp.asarray(shift_attention_mask(hp, wp, ws, shift, H, W))
@@ -193,11 +197,12 @@ class SwinBlock(nn.Module):
                       attn_drop_rate=self.attn_drop_rate,
                       proj_drop_rate=self.drop_rate,
                       trainable=self.trainable, name="attn")(
-            y, mask=mask, train=train)
+            y, train=train, mask=mask)
         y = y.reshape(N, nwh, nww, ws, ws, C).transpose(0, 1, 3, 2, 4, 5)
-        y = y.reshape(N, hp, wp, C)[:, :H, :W]
+        y = y.reshape(N, hp, wp, C)
         if shift:
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y[:, :H, :W]
         x = x + DropPath(self.drop_path_rate, name="drop_path1")(
             y, train=train)
 

@@ -20,8 +20,8 @@ import torch.nn.functional as TF
 from image_segmentation_lab_tpu.core.registry_hub import BACKBONE
 from image_segmentation_lab_tpu.models.builder import build_module_from_cfg
 
-from test_zoo_torch_parity import (P, _t, assert_feature_parity, randomize,
-                                    tconv)
+from test_zoo_torch_parity import (_t, assert_feature_parity, randomize,
+                                   tconv)
 
 torch.set_grad_enabled(False)
 

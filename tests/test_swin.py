@@ -116,10 +116,11 @@ def t_swin_block(x_nhwc, p, heads, ws, shift):
     wp = -(-W // ws) * ws
 
     y = t_ln(x_nhwc, p["norm1"])
-    if shift:
-        y = torch.roll(y, (-shift, -shift), dims=(1, 2))
+    # canonical order: pad to the window grid, THEN cyclic-shift
     y = TF.pad(y.permute(0, 3, 1, 2), (0, wp - W, 0, hp - H)) \
         .permute(0, 2, 3, 1)
+    if shift:
+        y = torch.roll(y, (-shift, -shift), dims=(1, 2))
     mask = None
     if shift or (hp, wp) != (H, W):
         mask = t_shift_mask(hp, wp, ws, shift, H, W)
@@ -128,9 +129,10 @@ def t_swin_block(x_nhwc, p, heads, ws, shift):
     y = y.reshape(N * nwh * nww, ws * ws, C)
     y = t_window_msa(y, p["attn"], heads, ws, mask)
     y = y.view(N, nwh, nww, ws, ws, C).permute(0, 1, 3, 2, 4, 5)
-    y = y.reshape(N, hp, wp, C)[:, :H, :W]
+    y = y.reshape(N, hp, wp, C)
     if shift:
         y = torch.roll(y, (shift, shift), dims=(1, 2))
+    y = y[:, :H, :W]
     x = x_nhwc + y
 
     y = t_ln(x, p["norm2"])
