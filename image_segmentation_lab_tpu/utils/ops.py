@@ -121,6 +121,85 @@ def resize_bilinear(x: jnp.ndarray,
     return xf.astype(orig_dtype)
 
 
+def _bicubic_1d_weights(in_size: int, out_size: int, align_corners: bool,
+                        scale: Optional[float] = None):
+    """Static 4-tap indices + cubic-convolution weights for one axis.
+
+    torch's bicubic kernel (``upsample_bicubic2d``): cubic convolution with
+    a = -0.75, taps at floor(src)+{-1,0,1,2}, border taps clamped
+    (replicate).  Same coordinate rules as bilinear."""
+    dst = np.arange(out_size, dtype=np.float64)
+    if align_corners:
+        step = (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+        src = dst * step
+    else:
+        step = (1.0 / scale) if scale else in_size / out_size
+        # NOTE: unlike bilinear, torch does NOT clamp src at 0 for bicubic —
+        # negative fractional coordinates keep their (replicated-tap) weights
+        src = (dst + 0.5) * step - 0.5
+    i0 = np.floor(src).astype(np.int64)
+    t = (src - i0)[:, None]                     # (out, 1)
+    m = np.arange(-1, 3, dtype=np.float64)[None, :]   # taps (1, 4)
+    ax = np.abs(m - t)                          # |x| per tap, (out, 4)
+    a = -0.75
+    w = np.where(
+        ax <= 1.0, ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0,
+        np.where(ax < 2.0, ((a * ax - 5.0 * a) * ax + 8.0 * a) * ax - 4.0 * a,
+                 0.0))
+    idx = np.clip(i0[:, None] + np.arange(-1, 3)[None, :], 0, in_size - 1)
+    return idx.astype(np.int32), w.astype(np.float32)
+
+
+def _bicubic_matrix(in_size: int, out_size: int, align_corners: bool,
+                    scale: Optional[float] = None) -> jnp.ndarray:
+    """Dense (out, in) cubic-interpolation matrix (≤4 nonzeros per row),
+    built on device like ``_interp_matrix`` (clamped duplicate taps
+    accumulate, preserving the weight sum of 1)."""
+    idx, w = _bicubic_1d_weights(in_size, out_size, align_corners, scale)
+    idx = jnp.asarray(idx)                       # (out, 4)
+    w = jnp.asarray(w)
+    cols = jnp.arange(in_size, dtype=jnp.int32)
+    onehot = (cols[None, None, :] == idx[:, :, None]).astype(jnp.float32)
+    return jnp.einsum("otc,ot->oc", onehot, w)
+
+
+def resize_bicubic(x: jnp.ndarray,
+                   size: Tuple[int, int],
+                   align_corners: bool = False,
+                   method: str = "auto",
+                   scales: Optional[Tuple[float, float]] = None
+                   ) -> jnp.ndarray:
+    """Bicubic resize of NHWC ``x`` with torch ``F.interpolate`` semantics
+    (a = -0.75 cubic convolution, replicated border taps).  Same two
+    lowerings as ``resize_bilinear``; separable matmuls on TPU."""
+    N, H, W, C = x.shape
+    h, w = size
+    if (H, W) == (h, w):
+        return x
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    if method == "auto":
+        method = "matmul" if jax.default_backend() == "tpu" else "gather"
+    sh, sw = scales if scales is not None else (None, None)
+
+    if method == "matmul":
+        Mh = _bicubic_matrix(H, h, align_corners, sh)
+        Mw = _bicubic_matrix(W, w, align_corners, sw)
+        xf = jnp.einsum("oh,nhwc->nowc", Mh, xf,
+                        precision=jax.lax.Precision.HIGHEST)
+        xf = jnp.einsum("pw,nowc->nopc", Mw, xf,
+                        precision=jax.lax.Precision.HIGHEST)
+        return xf.astype(orig_dtype)
+
+    idx, wh = _bicubic_1d_weights(H, h, align_corners, sh)
+    xf = sum(jnp.take(xf, idx[:, m], axis=1)
+             * wh[None, :, m, None, None] for m in range(4))
+    idx, ww = _bicubic_1d_weights(W, w, align_corners, sw)
+    xf = sum(jnp.take(xf, idx[:, m], axis=2)
+             * ww[None, None, :, m, None] for m in range(4))
+    return xf.astype(orig_dtype)
+
+
 def resize_nearest(x: jnp.ndarray, size: Tuple[int, int],
                    scales: Optional[Tuple[float, float]] = None
                    ) -> jnp.ndarray:
@@ -174,6 +253,9 @@ def resize(input: jnp.ndarray,
     if mode == "bilinear":
         return resize_bilinear(input, size, bool(align_corners),
                                scales=scales)
+    if mode == "bicubic":
+        return resize_bicubic(input, size, bool(align_corners),
+                              scales=scales)
     if mode == "nearest":
         assert align_corners is None or align_corners is False
         return resize_nearest(input, size, scales=scales)

@@ -72,3 +72,37 @@ def test_scale_factor_uses_user_scale_like_torch(rng, in_hw, sf):
                           scale_factor=sf, mode="nearest")
     np.testing.assert_array_equal(
         np.transpose(np.asarray(outn), (0, 3, 1, 2)), refn.numpy())
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [((7, 9), (20, 24)),
+                                          ((16, 16), (40, 40)),
+                                          ((21, 17), (8, 6)),
+                                          ((5, 5), (5, 9))])
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_bicubic_parity(rng, in_hw, out_hw, align_corners):
+    """Torch upsample_bicubic2d golden: a=-0.75 cubic convolution,
+    replicated border taps, and the cubic-specific unclamped source
+    coordinate (negative src keeps its weights instead of clamping to 0)."""
+    from image_segmentation_lab_tpu.utils.ops import resize_bicubic
+    x = rng.randn(2, *in_hw, 3).astype(np.float32)
+    ref = TF.interpolate(torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+                         size=out_hw, mode="bicubic",
+                         align_corners=align_corners)
+    for method in ("gather", "matmul"):
+        out = resize_bicubic(jnp.asarray(x), out_hw, align_corners,
+                             method=method)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(out), (0, 3, 1, 2)), ref.numpy(),
+            rtol=1e-4, atol=1e-4, err_msg=method)
+
+
+def test_bicubic_scale_factor_and_dispatch(rng):
+    x = rng.randn(1, 17, 11, 4).astype(np.float32)
+    out = resize(jnp.asarray(x), scale_factor=0.5, mode="bicubic",
+                 align_corners=False)
+    ref = TF.interpolate(torch.tensor(np.transpose(x, (0, 3, 1, 2))),
+                         scale_factor=0.5, mode="bicubic",
+                         align_corners=False)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(out), (0, 3, 1, 2)), ref.numpy(),
+        rtol=1e-4, atol=1e-4)
