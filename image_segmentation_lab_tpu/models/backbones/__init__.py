@@ -7,3 +7,4 @@ from .mobilenet_v3 import MobileNetV3
 from .resnet import ResNet, ResNetV1c, ResNetV1d
 from .swin import SwinTransformer
 from .unet import UNet
+from .vit import VisionTransformer

@@ -5,4 +5,5 @@ from .lraspp_head import LRASPPHead
 from .psp_head import PPM, PSPHead
 from .segformer_head import SegFormerHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
+from .setr_up_head import SETRUPHead
 from .uper_head import UPerHead
