@@ -2,6 +2,7 @@ from .aspp_head import ASPPHead, ASPPModule
 from .decode_head import BaseDecodeHead
 from .fcn_head import FCNHead
 from .lraspp_head import LRASPPHead
+from .ocr_head import OCRHead
 from .psp_head import PPM, PSPHead
 from .segformer_head import SegFormerHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead

@@ -68,7 +68,8 @@ class CascadeEncoderDecoder(EncoderDecoder):
         self.out_channels = last.resolved_out_channels()
 
     def _stage_inputs(self, inputs, head, prev_logits, train):
-        if prev_logits is None or self.cascade_input == "features":
+        if prev_logits is None or self.cascade_input == "features" \
+                or getattr(head, "takes_prev_logits", False):
             return inputs
         # resize prev logits onto the head's selected feature and concat
         idx = head.in_index if isinstance(head.in_index, int) else \
@@ -86,8 +87,13 @@ class CascadeEncoderDecoder(EncoderDecoder):
         out = self.stage_heads[0].forward_test(x, train=train)
         for i in range(1, self.num_stages):
             head = self.stage_heads[i]
-            out = head.forward_test(self._stage_inputs(x, head, out, train),
-                                    train=train)
+            if getattr(head, "takes_prev_logits", False):
+                # OCR-style heads consume the previous stage's logits as a
+                # separate argument (soft region map), not a feature concat
+                out = head(x, train=train, prev_logits=out)
+            else:
+                out = head.forward_test(
+                    self._stage_inputs(x, head, out, train), train=train)
         return resize(out, size=img.shape[1:3], mode="bilinear",
                       align_corners=self.align_corners)
 
@@ -99,7 +105,11 @@ class CascadeEncoderDecoder(EncoderDecoder):
         prev = None
         for i, head in enumerate(self.stage_heads):
             inputs = self._stage_inputs(x, head, prev, train)
-            raw = head(inputs, train=train)  # feature-resolution logits
+            if prev is not None and getattr(head, "takes_prev_logits",
+                                            False):
+                raw = head(inputs, train=train, prev_logits=prev)
+            else:
+                raw = head(inputs, train=train)  # feature-resolution logits
             logit, loss = head.losses(raw, gt_semantic_seg, meta_infos,
                                       rescale=rescale)
             prefix = "decode" if i == self.num_stages - 1 else f"decode_{i}"
