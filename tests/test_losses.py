@@ -175,3 +175,59 @@ def test_dice_loss_ignores_pixel_weight(rng):
     b = float(loss_fn(jnp.asarray(pred), jnp.asarray(label),
                       weight=jnp.asarray(w)))
     np.testing.assert_allclose(a, b)
+
+
+def test_focal_loss_matches_torch(rng):
+    """Torch twin of the mmseg sigmoid focal formula: BCE-with-logits x
+    alpha-balanced (1-p_t)^gamma, one-hot targets, mean reduction."""
+    from image_segmentation_lab_tpu.models.losses import FocalLoss
+    pred = _rand(rng, 2, 6, 5, 3)
+    label = rng.randint(0, 3, (2, 6, 5))
+    gamma, alpha = 2.0, 0.25
+    out = float(FocalLoss(gamma=gamma, alpha=alpha)(
+        jnp.asarray(pred), jnp.asarray(label)))
+
+    x = torch.tensor(pred.reshape(-1, 3))
+    t = TF.one_hot(torch.tensor(label.reshape(-1)).long(), 3).float()
+    p = torch.sigmoid(x)
+    pt = (1 - p) * t + p * (1 - t)
+    fw = (alpha * t + (1 - alpha) * (1 - t)) * pt.pow(gamma)
+    ref = (TF.binary_cross_entropy_with_logits(x, t, reduction="none")
+           * fw).mean()
+    np.testing.assert_allclose(out, float(ref), rtol=1e-5)
+
+
+def test_focal_loss_ignore_index_and_class_weight(rng):
+    from image_segmentation_lab_tpu.models.losses import FocalLoss
+    pred = _rand(rng, 1, 4, 4, 2)
+    label = rng.randint(0, 2, (1, 4, 4))
+    label[0, 0, :2] = 255
+    cw = [0.3, 0.7]
+    out = float(FocalLoss(class_weight=cw)(
+        jnp.asarray(pred), jnp.asarray(label), ignore_index=255))
+
+    x = torch.tensor(pred.reshape(-1, 2))
+    lab = torch.tensor(label.reshape(-1)).long()
+    valid = (lab != 255).float()[:, None]
+    t = TF.one_hot(lab.clamp(0, 1), 2).float()
+    p = torch.sigmoid(x)
+    pt = (1 - p) * t + p * (1 - t)
+    fw = (0.5 * t + 0.5 * (1 - t)) * pt.pow(2.0)
+    loss = TF.binary_cross_entropy_with_logits(x, t, reduction="none") * fw
+    w = torch.tensor(cw)[None, :] * valid
+    ref = (loss * w).mean()  # mean over all N*C elements
+    np.testing.assert_allclose(out, float(ref), rtol=1e-5)
+
+
+def test_focal_loss_reduction_and_loss_name():
+    from image_segmentation_lab_tpu.models.losses import FocalLoss
+    fl = FocalLoss(reduction="sum", loss_weight=2.0, loss_name="loss_f")
+    assert fl.loss_name == "loss_f"
+    pred = jnp.zeros((1, 2, 2, 2))
+    label = jnp.zeros((1, 2, 2), jnp.int32)
+    v = float(fl(pred, label))
+    # logits 0: bce = log(2); pt = 0.5 -> fw = 0.5 * 0.25; 8 elements
+    np.testing.assert_allclose(
+        v, 2.0 * 8 * np.log(2) * 0.5 * 0.25, rtol=1e-5)
+    with pytest.raises(AssertionError):
+        FocalLoss(use_sigmoid=False)
