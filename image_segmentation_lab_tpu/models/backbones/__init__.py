@@ -1,3 +1,4 @@
+from .bisenetv2 import BiSeNetV2
 from .convnext import ConvNeXt
 from .hrnet import HRModule, HRNet
 from .icnet import ICNet

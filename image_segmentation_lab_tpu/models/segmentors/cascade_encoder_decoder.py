@@ -49,7 +49,7 @@ class CascadeEncoderDecoder(EncoderDecoder):
             self.neck_module = build_module_from_cfg(self.neck, NECK,
                                                      dict(name="neck"))
         if self.with_aux and self.auxiliary_head:
-            if isinstance(self.auxiliary_head, list):
+            if isinstance(self.auxiliary_head, (list, tuple)):
                 self.aux_head_modules = [
                     build_module_from_cfg(cfg, DECODEHEAD,
                                           dict(name=f"auxiliary_head_{i}"))

@@ -105,7 +105,7 @@ class EncoderDecoder(BaseSegmentor):
         self.decode_head_module = build_module_from_cfg(
             self.decode_head, DECODEHEAD, dict(name="decode_head"))
         if self.with_aux and self.auxiliary_head:
-            if isinstance(self.auxiliary_head, list):
+            if isinstance(self.auxiliary_head, (list, tuple)):
                 self.aux_head_modules = [
                     build_module_from_cfg(cfg, DECODEHEAD,
                                           dict(name=f"auxiliary_head_{i}"))
