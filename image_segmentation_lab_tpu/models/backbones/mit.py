@@ -46,6 +46,7 @@ from flax import linen as nn
 from ...core.initialize.init_functions import (constant_, kaiming_,
                                                trunc_normal_)
 from ...core.registry_hub import BACKBONE
+from ...ops.attention import multihead_attention
 from ..basic.convolution import Conv2d
 from ..basic.drop import Dropout, DropPath
 from ..basic.normalization import LayerNorm
@@ -93,13 +94,21 @@ class EfficientMultiheadAttention(nn.Module):
         k = kv[..., :C].reshape(N, S, h, d)
         v = kv[..., C:].reshape(N, S, h, d)
 
-        # QK^T accumulates in f32 on the MXU; softmax stays f32
-        scores = jnp.einsum("nlhd,nshd->nhls", q, k,
-                            preferred_element_type=jnp.float32)
-        attn = nn.softmax(scores * (1.0 / math.sqrt(d)), axis=-1)
-        attn = Dropout(self.attn_drop_rate, name="attn_drop")(
-            attn, train=train)
-        out = jnp.einsum("nhls,nshd->nlhd", attn.astype(v.dtype), v)
+        if self.attn_drop_rate > 0.0 and train:
+            # probability dropout forces the materialized-score path;
+            # QK^T accumulates in f32 on the MXU, softmax stays f32
+            scores = jnp.einsum("nlhd,nshd->nhls", q, k,
+                                preferred_element_type=jnp.float32)
+            attn = nn.softmax(scores * (1.0 / math.sqrt(d)), axis=-1)
+            attn = Dropout(self.attn_drop_rate, name="attn_drop")(
+                attn, train=train)
+            out = jnp.einsum("nhls,nshd->nlhd", attn.astype(v.dtype), v)
+        else:
+            # fused flash kernel on TPU in its winning regime, XLA
+            # einsums otherwise (ops/attention.py); same f32-softmax
+            # numerics contract either way
+            out = multihead_attention(q, k, v, 1.0 / math.sqrt(d),
+                                      train=train)
         out = out.reshape(N, H, W, C)
         out = Conv2d(C, C, 1, trainable=self.trainable, weight_init=_LINEAR_W,
                      bias_init=_ZEROS, name="proj")(out)

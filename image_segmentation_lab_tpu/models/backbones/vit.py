@@ -38,6 +38,7 @@ from flax import linen as nn
 
 from ...core.initialize.init_functions import constant_, trunc_normal_
 from ...core.registry_hub import BACKBONE
+from ...ops.attention import multihead_attention
 from ...utils.ops import resize_bicubic, resize_bilinear
 from ..basic.convolution import Conv2d, Linear
 from ..basic.drop import Dropout, DropPath
@@ -75,12 +76,19 @@ class MultiheadAttention(nn.Module):
         q = qkv[..., :C].reshape(N, L, h, d)
         k = qkv[..., C:2 * C].reshape(N, L, h, d)
         v = qkv[..., 2 * C:].reshape(N, L, h, d)
-        scores = jnp.einsum("nlhd,nshd->nhls", q, k,
-                            preferred_element_type=jnp.float32)
-        attn = nn.softmax(scores * (1.0 / math.sqrt(d)), axis=-1)
-        attn = Dropout(self.attn_drop_rate, name="attn_drop")(
-            attn, train=train)
-        out = jnp.einsum("nhls,nshd->nlhd", attn.astype(v.dtype), v)
+        if self.attn_drop_rate > 0.0 and train:
+            # probability dropout forces the materialized-score path
+            scores = jnp.einsum("nlhd,nshd->nhls", q, k,
+                                preferred_element_type=jnp.float32)
+            attn = nn.softmax(scores * (1.0 / math.sqrt(d)), axis=-1)
+            attn = Dropout(self.attn_drop_rate, name="attn_drop")(
+                attn, train=train)
+            out = jnp.einsum("nhls,nshd->nlhd", attn.astype(v.dtype), v)
+        else:
+            # fused flash kernel on TPU in its winning regime, XLA
+            # einsums otherwise (ops/attention.py)
+            out = multihead_attention(q, k, v, 1.0 / math.sqrt(d),
+                                      train=train)
         out = Linear(C, C, trainable=self.trainable, weight_init=_W_INIT,
                      bias_init=_ZEROS, name="proj")(out.reshape(N, L, C))
         return Dropout(self.proj_drop_rate, name="proj_drop")(

@@ -1,0 +1,131 @@
+"""Flash-attention kernel tests (interpret mode on CPU).
+
+Golden contract: the fused kernel must reproduce the einsum attention
+path (f32 scores/softmax, probabilities cast to the value dtype — the
+exact semantics of models/backbones/vit.py::MultiheadAttention) for
+both forward values and gradients, including ragged lengths and the
+MiT Lq != Lk spatial-reduction case.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from image_segmentation_lab_tpu.ops.attention import (_use_flash,
+                                                      multihead_attention)
+from image_segmentation_lab_tpu.ops.pallas.flash_attention import \
+    flash_attention
+
+
+def _naive(q, k, v, scale):
+    s = jnp.einsum("bld,bsd->bls", q, k, preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s * scale, axis=-1)
+    return jnp.einsum("bls,bsd->bld", p.astype(v.dtype), v)
+
+
+@pytest.mark.parametrize("B,Lq,Lk,d", [
+    (2, 64, 64, 32),      # exact block fit
+    (3, 130, 130, 64),    # ragged both ways (cls-token-style odd length)
+    (2, 100, 37, 64),     # Lq != Lk (MiT spatial reduction)
+    (1, 300, 300, 48),    # multi-block both axes, non-lane head dim
+])
+def test_flash_matches_naive_fwd_and_grad(rng, B, Lq, Lk, d):
+    q = jnp.asarray(rng.randn(B, Lq, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, Lk, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, Lk, d).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+
+    ref = _naive(q, k, v, scale)
+    out = flash_attention(q, k, v, scale, 64, 64, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+    # gradients through a scalar loss touching every output element
+    gr = jax.grad(lambda *a: (_naive(*a, scale) ** 2).sum(),
+                  argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(lambda *a: (flash_attention(*a, scale, 64, 64, True)
+                              ** 2).sum(), argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4, err_msg=name)
+
+
+def test_flash_bf16_matches_einsum_bf16(rng):
+    """bf16 inputs: both paths cast probabilities to bf16 for PV; the
+    fused kernel must stay within bf16 resolution of the einsum path."""
+    B, L, d = 2, 96, 64
+    q = jnp.asarray(rng.randn(B, L, d), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, L, d), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, L, d), jnp.bfloat16)
+    scale = 1.0 / np.sqrt(d)
+    ref = _naive(q, k, v, scale).astype(jnp.float32)
+    out = flash_attention(q, k, v, scale, 64, 64, True).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_dispatcher_paths_agree(rng):
+    """(N, L, h, d) dispatcher: interpret-flash == einsum."""
+    N, Lq, Lk, h, d = 2, 70, 33, 3, 32
+    q = jnp.asarray(rng.randn(N, Lq, h, d).astype(np.float32))
+    k = jnp.asarray(rng.randn(N, Lk, h, d).astype(np.float32))
+    v = jnp.asarray(rng.randn(N, Lk, h, d).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+    ref = multihead_attention(q, k, v, scale, force="einsum")
+    out = multihead_attention(q, k, v, scale, force="interpret",
+                              block_q=64, block_k=128)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_auto_policy_cpu_is_einsum():
+    """On CPU the auto policy must never pick the TPU kernel."""
+    assert jax.default_backend() == "cpu"
+    assert not _use_flash(4096, 4096, 64, True)
+    assert not _use_flash(4096, 4096, 64, False)
+
+
+def test_vit_attention_module_flash_parity(rng, monkeypatch):
+    """ViT MultiheadAttention end-to-end: forcing the (interpret) flash
+    path through the env knob reproduces the einsum path bit-for-bit up
+    to f32 reduction order."""
+    from image_segmentation_lab_tpu.models.backbones.vit import \
+        MultiheadAttention
+    m = MultiheadAttention(64, 4)
+    x = jnp.asarray(rng.randn(2, 33, 64).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(variables, x)
+    monkeypatch.setenv("ISLT_FLASH_ATTN_FORCE", "interpret")
+    out = m.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_mit_attention_module_flash_parity(rng, monkeypatch):
+    """MiT EfficientMultiheadAttention (sr_ratio=2, Lq != Lk) parity."""
+    from image_segmentation_lab_tpu.models.backbones.mit import \
+        EfficientMultiheadAttention
+    m = EfficientMultiheadAttention(32, 2, sr_ratio=2)
+    x = jnp.asarray(rng.randn(2, 9, 7, 32).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    ref = m.apply(variables, x)
+    monkeypatch.setenv("ISLT_FLASH_ATTN_FORCE", "interpret")
+    out = m.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)
+
+
+def test_attn_dropout_keeps_einsum_path(rng, monkeypatch):
+    """attn_drop_rate > 0 under train must not enter the fused kernel
+    (probabilities never materialize there) — forcing an invalid kernel
+    path via env would raise; the dropout branch must shield it."""
+    from image_segmentation_lab_tpu.models.backbones.vit import \
+        MultiheadAttention
+    m = MultiheadAttention(32, 2, attn_drop_rate=0.5)
+    x = jnp.asarray(rng.randn(1, 10, 32).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    monkeypatch.setenv("ISLT_FLASH_ATTN_FORCE", "boom")  # would KeyError
+    out = m.apply(variables, x, True,
+                  rngs={"dropout": jax.random.PRNGKey(1)})
+    assert np.isfinite(np.asarray(out)).all()
