@@ -28,6 +28,7 @@ attention dropout is active, so training numerics with
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 import jax
@@ -39,9 +40,42 @@ from .pallas.flash_attention import flash_attention
 # and kernel launch/padding overhead dominates (1M f32 scores = 4 MB)
 _FLASH_MIN_SCORES = 1 << 20
 
+# trace-time disable depth — see no_flash()
+_flash_disabled = 0
+
+
+@contextlib.contextmanager
+def no_flash():
+    """Disable the flash kernel for code traced inside this context.
+
+    A Mosaic (Pallas) kernel cannot be automatically partitioned inside a
+    multi-device jit (GSPMD raises NotImplementedError at lowering — the
+    same constraint that forces the jnp path in
+    ``parallel/mesh.py::make_sharded_metric_eval_step``).  Every sharded
+    step builder traces its body under this context so transformer
+    models stay partitionable; the path choice happens at trace time, so
+    a Python-level flag is sufficient.
+    """
+    global _flash_disabled
+    _flash_disabled += 1
+    try:
+        yield
+    finally:
+        _flash_disabled -= 1
+
+
+def without_flash(fn):
+    """Wrap ``fn`` so its body traces under ``no_flash()`` — for step
+    functions destined for a multi-device jit (the context must be live
+    at trace time, which is call time for a jitted function)."""
+    def wrapped(*args, **kwargs):
+        with no_flash():
+            return fn(*args, **kwargs)
+    return wrapped
+
 
 def _use_flash(Lq: int, Lk: int, d: int, train: bool) -> bool:
-    if os.environ.get("ISLT_NO_FLASH_ATTN"):
+    if _flash_disabled or os.environ.get("ISLT_NO_FLASH_ATTN"):
         return False
     if jax.default_backend() != "tpu":
         return False
@@ -69,8 +103,11 @@ def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     N, Lq, h, d = q.shape
     Lk = k.shape[1]
     if force is None:
-        force = os.environ.get("ISLT_FLASH_ATTN_FORCE") or (
-            "flash" if _use_flash(Lq, Lk, d, train) else "einsum")
+        if _flash_disabled:  # sharded-jit safety trumps the test knob
+            force = "einsum"
+        else:
+            force = os.environ.get("ISLT_FLASH_ATTN_FORCE") or (
+                "flash" if _use_flash(Lq, Lk, d, train) else "einsum")
 
     if force == "einsum":
         scores = jnp.einsum("nlhd,nshd->nhls", q, k,

@@ -88,6 +88,7 @@ def make_sharded_train_step(model, tx, mesh: Mesh, axis: str = "data",
       per-chip batch), but a different (equally valid) random stream than
       single-device execution.  Use for production multi-chip throughput.
     """
+    from ..ops.attention import without_flash
     from ..train_state import build_train_step_fn
 
     rep = replicated(mesh)
@@ -114,8 +115,10 @@ def make_sharded_train_step(model, tx, mesh: Mesh, axis: str = "data",
             return base_step(state, img, gt, step_rng)
     else:
         train_step = build_train_step_fn(model, tx, pipeline)
+    # Mosaic kernels cannot be partitioned inside a multi-device jit —
+    # trace every sharded body with the flash-attention path disabled
     return jax.jit(
-        train_step,
+        without_flash(train_step),
         in_shardings=(rep, data, data, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate else ())
@@ -160,12 +163,13 @@ def make_spatial_sharded_train_step(model, tx, mesh: Mesh,
     H-sharding degenerates into per-op reshards.  Augment on the host or
     use the 1-D DP step (``make_sharded_train_step``) when fusing aug.
     """
+    from ..ops.attention import without_flash
     from ..train_state import build_train_step_fn
 
     rep = replicated(mesh)
     data = spatial_sharding(mesh, data_axis, space_axis)
     return jax.jit(
-        build_train_step_fn(model, tx, None),
+        without_flash(build_train_step_fn(model, tx, None)),
         in_shardings=(rep, data, data, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate else ())
@@ -180,10 +184,13 @@ def make_spatial_sharded_eval_step(model, mesh: Mesh,
     rep = replicated(mesh)
     data = spatial_sharding(mesh, data_axis, space_axis)
 
+    from ..ops.attention import without_flash
+
     def eval_step(variables, img):
         return model.apply(variables, img, method="inference")
 
-    return jax.jit(eval_step, in_shardings=(rep, data), out_shardings=data)
+    return jax.jit(without_flash(eval_step), in_shardings=(rep, data),
+                   out_shardings=data)
 
 
 def make_sharded_eval_step(model, mesh: Mesh, axis: str = "data"):
@@ -191,10 +198,13 @@ def make_sharded_eval_step(model, mesh: Mesh, axis: str = "data"):
     rep = replicated(mesh)
     data = batch_sharding(mesh, axis)
 
+    from ..ops.attention import without_flash
+
     def eval_step(variables, img):
         return model.apply(variables, img, method="inference")
 
-    return jax.jit(eval_step, in_shardings=(rep, data), out_shardings=data)
+    return jax.jit(without_flash(eval_step), in_shardings=(rep, data),
+                   out_shardings=data)
 
 
 def make_sharded_metric_eval_step(model, mesh: Mesh, num_classes: int,
@@ -224,5 +234,6 @@ def make_sharded_metric_eval_step(model, mesh: Mesh, num_classes: int,
         return confusion_histograms(probs, gt, num_classes, ignore_index,
                                     force="jnp")
 
-    return jax.jit(eval_step, in_shardings=(rep, data, data),
+    from ..ops.attention import without_flash
+    return jax.jit(without_flash(eval_step), in_shardings=(rep, data, data),
                    out_shardings=rep)

@@ -129,3 +129,20 @@ def test_attn_dropout_keeps_einsum_path(rng, monkeypatch):
     out = m.apply(variables, x, True,
                   rngs={"dropout": jax.random.PRNGKey(1)})
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_no_flash_context_forces_einsum(rng, monkeypatch):
+    """Sharded step builders trace under no_flash(): even with the env
+    knob forcing the kernel, the dispatcher must take the einsum path
+    (a Mosaic kernel cannot be partitioned inside a multi-device jit)."""
+    from image_segmentation_lab_tpu.ops import attention
+
+    def boom(*a, **k):
+        raise AssertionError("flash kernel entered under no_flash()")
+
+    monkeypatch.setattr(attention, "flash_attention", boom)
+    monkeypatch.setenv("ISLT_FLASH_ATTN_FORCE", "interpret")
+    q = jnp.asarray(rng.randn(1, 16, 2, 8).astype(np.float32))
+    with attention.no_flash():
+        out = attention.multihead_attention(q, q, q, 0.5)
+    assert out.shape == q.shape
