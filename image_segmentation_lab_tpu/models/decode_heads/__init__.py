@@ -5,6 +5,7 @@ from .lraspp_head import LRASPPHead
 from .ocr_head import OCRHead
 from .psp_head import PPM, PSPHead
 from .segformer_head import SegFormerHead
+from .segmenter_mask_head import SegmenterMaskTransformerHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
 from .setr_up_head import SETRUPHead
 from .uper_head import UPerHead

@@ -139,6 +139,12 @@ class BaseDecodeHead(nn.Module):
             return jnp.concatenate(upsampled, axis=-1)
         if self.input_transform == "multiple_select":
             return [inputs[i] for i in self.in_index]
+        if not isinstance(inputs, (list, tuple)):
+            # single-tap backbones (out_indices of length 1) return the
+            # bare feature map, mirroring the reference convention
+            # (reference mobilenet_v2.py:117-119); indexing it with
+            # in_index would slice the batch axis
+            return inputs
         return inputs[self.in_index]
 
     def __call__(self, inputs, train: bool = False):
