@@ -1,0 +1,178 @@
+"""NonLocal2d / NLHead / DAHead: torch-golden numerics + contract tests
+(beyond-reference attention-head families).
+
+Twins re-derive mmcv NonLocal2d (embedded_gaussian / dot_product,
+sub_sample) and DANet's PAM/CAM (Fu et al., CVPR 2019: the channel
+attention's softmax(max(energy) - energy) inverted-distance form) with
+the SAME weights pulled from the jax tree.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from image_segmentation_lab_tpu.core.registry_hub import DECODEHEAD
+from image_segmentation_lab_tpu.models.builder import build_module_from_cfg
+from image_segmentation_lab_tpu.models.decode_heads.da_head import CAM, PAM
+from image_segmentation_lab_tpu.models.utils.non_local import NonLocal2d
+
+from test_zoo_torch_parity import _t, randomize, tconv
+
+torch.set_grad_enabled(False)
+
+
+def _conv1x1(x, p, bias=True):
+    return tconv(x, p["weight"],
+                 bias=np.asarray(p["bias"]) if bias else None)
+
+
+def t_nonlocal2d(params, x_nchw, mode="embedded_gaussian", use_scale=True,
+                 sub_sample=False):
+    N, C, H, W = x_nchw.shape
+    theta = _conv1x1(x_nchw, params["theta"])
+    kv_in = TF.max_pool2d(x_nchw, 2, 2) if sub_sample else x_nchw
+    phi = _conv1x1(kv_in, params["phi"])
+    g = _conv1x1(kv_in, params["g"])
+    ci = theta.shape[1]
+    theta = theta.flatten(2).transpose(1, 2)        # (N, L, ci)
+    phi = phi.flatten(2)                            # (N, ci, S)
+    g = g.flatten(2).transpose(1, 2)                # (N, S, ci)
+    pairwise = theta @ phi
+    if mode == "embedded_gaussian":
+        if use_scale:
+            pairwise = pairwise / ci ** 0.5
+        pairwise = TF.softmax(pairwise, dim=-1)
+    else:
+        pairwise = pairwise / pairwise.shape[-1]
+    y = (pairwise @ g).transpose(1, 2).reshape(N, ci, H, W)
+    y = _conv1x1(y, params["conv_out"])
+    return x_nchw + y
+
+
+@pytest.mark.parametrize("mode,use_scale,sub_sample", [
+    ("embedded_gaussian", True, False),
+    ("embedded_gaussian", False, True),
+    ("dot_product", True, False),
+])
+def test_nonlocal2d_matches_torch(rng, mode, use_scale, sub_sample):
+    m = NonLocal2d(10, reduction=2, use_scale=use_scale, mode=mode,
+                   sub_sample=sub_sample, zeros_init=False)
+    x = rng.randn(2, 6, 8, 10).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = randomize(variables, seed=3)
+    out = m.apply(variables, jnp.asarray(x))
+    ref = t_nonlocal2d(variables["params"], _t(x.transpose(0, 3, 1, 2)),
+                       mode=mode, use_scale=use_scale, sub_sample=sub_sample)
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=3e-5, rtol=1e-4)
+
+
+def t_pam(params, x_nchw):
+    N, C, H, W = x_nchw.shape
+    q = tconv(x_nchw, params["query"]["weight"]).flatten(2).transpose(1, 2)
+    k = tconv(x_nchw, params["key"]["weight"]).flatten(2)
+    v = tconv(x_nchw, params["value"]["weight"]).flatten(2).transpose(1, 2)
+    attn = TF.softmax(q @ k, dim=-1)
+    out = (attn @ v).transpose(1, 2).reshape(N, C, H, W)
+    return float(params["gamma"]) * out + x_nchw
+
+
+def t_cam(params, x_nchw):
+    N, C, H, W = x_nchw.shape
+    flat = x_nchw.flatten(2)                        # (N, C, L)
+    energy = flat @ flat.transpose(1, 2)            # (N, C, C)
+    energy = energy.max(dim=-1, keepdim=True)[0].expand_as(energy) - energy
+    attn = TF.softmax(energy, dim=-1)
+    out = (attn @ flat).reshape(N, C, H, W)
+    return float(params["gamma"]) * out + x_nchw
+
+
+def test_pam_matches_torch(rng):
+    m = PAM(12, 4)
+    x = rng.randn(2, 5, 7, 12).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = randomize(variables, seed=5)
+    out = m.apply(variables, jnp.asarray(x))
+    ref = t_pam(variables["params"], _t(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=3e-5, rtol=1e-4)
+
+
+def test_cam_matches_torch(rng):
+    m = CAM()
+    x = rng.randn(2, 5, 7, 12).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = randomize(variables, seed=6)
+    out = m.apply(variables, jnp.asarray(x))
+    ref = t_cam(variables["params"], _t(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=3e-5, rtol=1e-4)
+
+
+NL_HEAD = dict(type="NLHead", in_channels=12, in_index=0, channels=8,
+               reduction=2, use_scale=True, dropout_ratio=0.0,
+               num_classes=3, norm_cfg=None,
+               loss_decode=dict(type="CrossEntropyLoss"))
+
+
+def t_nl_head(params, x_nchw):
+    def conv_relu(x, p):
+        w, b = p["conv"]["weight"], np.asarray(p["conv"]["bias"])
+        return TF.relu(tconv(x, w, padding=1, bias=b))
+    out = conv_relu(x_nchw, params["convs_0"])
+    out = t_nonlocal2d(params["nl_block"], out)
+    out = conv_relu(out, params["convs_1"])
+    cat = torch.cat([x_nchw, out], dim=1)
+    out = conv_relu(cat, params["conv_cat"])
+    return tconv(out, params["conv_seg"]["weight"],
+                 bias=np.asarray(params["conv_seg"]["bias"]))
+
+
+def test_nl_head_matches_torch(rng):
+    head = build_module_from_cfg(NL_HEAD, DECODEHEAD)
+    x = rng.randn(2, 6, 8, 12).astype(np.float32)
+    variables = head.init({"params": jax.random.PRNGKey(0),
+                           "dropout": jax.random.PRNGKey(1)},
+                          [jnp.asarray(x)])
+    variables = randomize(variables, seed=11)
+    out = head.apply(variables, [jnp.asarray(x)])
+    ref = t_nl_head(variables["params"], _t(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               ref.numpy(), atol=5e-5, rtol=1e-4)
+    assert (np.argmax(np.asarray(out), -1)
+            == ref.numpy().argmax(1)).mean() > 0.99
+
+
+DA_HEAD = dict(type="DAHead", in_channels=12, in_index=0, channels=8,
+               pam_channels=2, dropout_ratio=0.0, num_classes=3,
+               norm_cfg=None, loss_decode=dict(type="CrossEntropyLoss"))
+
+
+def test_da_head_train_losses_and_test_path(rng):
+    head = build_module_from_cfg(DA_HEAD, DECODEHEAD)
+    x = [jnp.asarray(rng.randn(2, 6, 8, 12).astype(np.float32))]
+    gt = jnp.asarray(rng.randint(0, 3, (2, 6, 8)).astype(np.int32))
+    variables = head.init({"params": jax.random.PRNGKey(0),
+                           "dropout": jax.random.PRNGKey(1)},
+                          x, gt, method="forward_train")
+    _, losses = head.apply(variables, x, gt, method="forward_train")
+    assert {"loss_ce", "acc_seg", "pam.loss_ce", "pam.acc_seg",
+            "cam.loss_ce", "cam.acc_seg"} <= set(losses)
+    # three distinct classifiers -> three distinct losses
+    assert float(losses["loss_ce"]) != float(losses["pam.loss_ce"])
+    fused = head.apply(variables, x, method="forward_test")
+    triple = head.apply(variables, x)
+    np.testing.assert_array_equal(np.asarray(fused), np.asarray(triple[0]))
+    assert fused.shape == (2, 6, 8, 3)
+
+
+def test_da_head_gamma_starts_at_zero():
+    head = build_module_from_cfg(DA_HEAD, DECODEHEAD)
+    variables = head.init({"params": jax.random.PRNGKey(0),
+                           "dropout": jax.random.PRNGKey(1)},
+                          [jnp.zeros((1, 4, 4, 12))])
+    assert float(variables["params"]["pam"]["gamma"]) == 0.0
+    assert float(variables["params"]["cam"]["gamma"]) == 0.0
