@@ -202,11 +202,10 @@ def measure_train_aug(model, batch: int = 8, iters: int = 5,
                              pipeline=pipeline)
 
 
-def measure_segformer_whole(iters: int, repeats: int = 3,
-                            batch: int = 16) -> float:
-    """Whole-image 640² eval throughput of SegFormer MiT-B0 (the
-    beyond-reference transformer family) — same amortized timing body as
-    ``measure()``."""
+def measure_whole_config(cfg_path: str, iters: int, repeats: int = 3,
+                         batch: int = 16) -> float:
+    """Whole-image 640² eval throughput of a zoo config (beyond-reference
+    transformer families) — same amortized timing body as ``measure()``."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -215,8 +214,7 @@ def measure_segformer_whole(iters: int, repeats: int = 3,
     from image_segmentation_lab_tpu.models.builder import build_segmentor
     from image_segmentation_lab_tpu.utils.jit_init import jit_init_off_cpu
 
-    cfg = load_python_config(
-        REPO_ROOT / "configs/network/segformer/segformer_mit-b0.py")["model"]
+    cfg = load_python_config(REPO_ROOT / cfg_path)["model"]
     model = build_segmentor(cfg)
     img = jnp.zeros((1, 640, 640, 3), jnp.float32)
     rngs = {"params": jax.random.PRNGKey(0),
@@ -319,8 +317,15 @@ def main():
             train640_aug_ips = measure_train_aug(model)
 
     segformer_ips = None
+    setr_ips = None
     if not args.quick and not args.no_zoo_bench:
-        segformer_ips = measure_segformer_whole(iters=max(iters, 5))
+        segformer_ips = measure_whole_config(
+            "configs/network/segformer/segformer_mit-b0.py",
+            iters=max(iters, 5))
+        # SETR ViT-S rides the fused flash-attention Pallas kernel
+        # (ops/pallas/flash_attention.py) on its 1601-token sequences
+        setr_ips = measure_whole_config(
+            "configs/network/setr/setr_pup_vit-s.py", iters=max(iters, 5))
 
     result = {
         "metric": METRIC,
@@ -340,6 +345,8 @@ def main():
                                             if train640_aug_ips else None),
             "segformer_b0_whole640_images_per_sec": (
                 round(segformer_ips, 3) if segformer_ips else None),
+            "setr_vits_whole640_images_per_sec": (
+                round(setr_ips, 3) if setr_ips else None),
             "quick": args.quick,
         },
     }

@@ -2,7 +2,9 @@ from .aspp_head import ASPPHead, ASPPModule
 from .da_head import CAM, DAHead, PAM
 from .decode_head import BaseDecodeHead
 from .fcn_head import FCNHead
+from .fpn_head import FPNHead
 from .nl_head import NLHead
+from .point_head import PointHead
 from .lraspp_head import LRASPPHead
 from .ocr_head import OCRHead
 from .psp_head import PPM, PSPHead
