@@ -1,5 +1,6 @@
 from .bisenetv2 import BiSeNetV2
 from .convnext import ConvNeXt
+from .fast_scnn import FastSCNN
 from .hrnet import HRModule, HRNet
 from .icnet import ICNet
 from .mit import MixVisionTransformer

@@ -13,5 +13,6 @@ from .psp_head import PPM, PSPHead
 from .segformer_head import SegFormerHead
 from .segmenter_mask_head import SegmenterMaskTransformerHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
+from .sep_fcn_head import DepthwiseSeparableFCNHead
 from .setr_up_head import SETRUPHead
 from .uper_head import UPerHead
