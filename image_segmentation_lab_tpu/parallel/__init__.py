@@ -8,3 +8,5 @@ from .mesh import (batch_sharding, get_mesh, make_sharded_eval_step,
 from .pipeline import gpipe, microbatch, stack_stage_params
 from .tensor import (TRANSFORMER_TP_RULES, make_tp_eval_step,
                      make_tp_train_step, shard_state_tp, tp_shardings)
+from .zero import (make_zero1_train_step, shard_state_zero1,
+                   zero1_memory_fraction, zero1_state_shardings)
