@@ -2,6 +2,7 @@ from .aspp_head import ASPPHead, ASPPModule
 from .cc_head import CCHead, CrissCrossAttention
 from .da_head import CAM, DAHead, PAM
 from .ema_head import EMAHead, EMAModule
+from .enc_head import EncHead, Encoding, EncModule
 from .decode_head import BaseDecodeHead
 from .gc_head import ContextBlock, GCHead
 from .fcn_head import FCNHead
