@@ -1,3 +1,4 @@
+from .ann_head import AFNB, ANNHead, APNB
 from .aspp_head import ASPPHead, ASPPModule
 from .cc_head import CCHead, CrissCrossAttention
 from .da_head import CAM, DAHead, PAM
@@ -5,6 +6,7 @@ from .ema_head import EMAHead, EMAModule
 from .enc_head import EncHead, Encoding, EncModule
 from .decode_head import BaseDecodeHead
 from .gc_head import ContextBlock, GCHead
+from .isa_head import ISAHead
 from .fcn_head import FCNHead
 from .fpn_head import FPNHead
 from .nl_head import NLHead
