@@ -7,6 +7,7 @@ from .mit import MixVisionTransformer
 from .mobilenet_v2 import MobileNetV2
 from .mobilenet_v3 import MobileNetV3
 from .resnet import ResNet, ResNetV1c, ResNetV1d
+from .stdc import STDCContextPathNet, STDCModule, STDCNet
 from .swin import SwinTransformer
 from .unet import UNet
 from .vit import VisionTransformer

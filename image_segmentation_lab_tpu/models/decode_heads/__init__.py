@@ -19,4 +19,5 @@ from .segmenter_mask_head import SegmenterMaskTransformerHead
 from .sep_aspp_head import DepthwiseSeparableASPPHead
 from .sep_fcn_head import DepthwiseSeparableFCNHead
 from .setr_up_head import SETRUPHead
+from .stdc_head import STDCHead
 from .uper_head import UPerHead
