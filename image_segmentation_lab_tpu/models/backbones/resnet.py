@@ -304,12 +304,17 @@ class ResNet(nn.Module):
                     # load must leave the gammas at 1
                     zero_init_residual=(self.zero_init_residual
                                         and self.pretrained is None
-                                        and self.init_cfg is None)),
+                                        and self.init_cfg is None),
+                    **self._extra_block_kwargs()),
                 name=f"layer{i + 1}"))
             inplanes = planes * block.expansion
         self.res_layers = layers
         self.feat_dim = block.expansion * self.base_channels * 2 ** (
             len(stage_blocks) - 1)
+
+    def _extra_block_kwargs(self):
+        """Extra per-block kwargs for subclasses (Res2Net/ResNeSt)."""
+        return {}
 
     def _stage_plugins(self, stage_idx):
         """Filter plugins for one stage (reference resnet.py:538-586)."""

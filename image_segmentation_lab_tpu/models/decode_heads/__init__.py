@@ -1,16 +1,21 @@
 from .ann_head import AFNB, ANNHead, APNB
+from .apc_head import ACM, APCHead
 from .aspp_head import ASPPHead, ASPPModule
 from .cc_head import CCHead, CrissCrossAttention
 from .da_head import CAM, DAHead, PAM
+from .dm_head import DCM, DMHead
+from .dnl_head import DisentangledNonLocal2d, DNLHead
 from .ema_head import EMAHead, EMAModule
 from .enc_head import EncHead, Encoding, EncModule
 from .decode_head import BaseDecodeHead
 from .gc_head import ContextBlock, GCHead
+from .ham_head import Hamburger, LightHamHead, NMF2D
 from .isa_head import ISAHead
 from .fcn_head import FCNHead
 from .fpn_head import FPNHead
 from .nl_head import NLHead
 from .point_head import PointHead
+from .psa_head import PSAHead, psa_mask
 from .lraspp_head import LRASPPHead
 from .ocr_head import OCRHead
 from .psp_head import PPM, PSPHead
