@@ -1,3 +1,4 @@
+from .bisenetv1 import BiSeNetV1
 from .bisenetv2 import BiSeNetV2
 from .convnext import ConvNeXt
 from .fast_scnn import FastSCNN

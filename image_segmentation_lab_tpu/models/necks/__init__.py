@@ -1,1 +1,2 @@
 from .fpn import FPN
+from .mla_neck import MLAModule, MLANeck
