@@ -1,6 +1,8 @@
 from .bisenetv1 import BiSeNetV1
 from .bisenetv2 import BiSeNetV2
+from .cgnet import CGNet, ContextGuidedBlock, GlobalContextExtractor
 from .convnext import ConvNeXt
+from .erfnet import ERFNet, NonBottleneck1d
 from .fast_scnn import FastSCNN
 from .hrnet import HRModule, HRNet
 from .icnet import ICNet

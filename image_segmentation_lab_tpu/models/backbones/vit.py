@@ -106,6 +106,11 @@ class ViTBlock(nn.Module):
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     trainable: bool = True
+    # MoE (Switch top-1) FFN in place of the dense MLP when >= 2 —
+    # see models/utils/moe.py; enables expert parallelism
+    num_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    moe_aux_loss_weight: float = 0.01
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -119,13 +124,21 @@ class ViTBlock(nn.Module):
         x = x + DropPath(self.drop_path_rate, name="drop_path1")(
             y, train=train)
         y = LayerNorm(C, trainable=self.trainable, name="norm2")(x)
-        y = Linear(C, self.mlp_ratio * C, trainable=self.trainable,
-                   weight_init=_W_INIT, bias_init=_ZEROS, name="fc1")(y)
-        y = nn.gelu(y, approximate=False)  # torch nn.GELU default is exact
-        y = Dropout(self.drop_rate, name="drop1")(y, train=train)
-        y = Linear(self.mlp_ratio * C, C, trainable=self.trainable,
-                   weight_init=_W_INIT, bias_init=_ZEROS, name="fc2")(y)
-        y = Dropout(self.drop_rate, name="drop2")(y, train=train)
+        if self.num_experts >= 2:
+            from ..utils.moe import MoEFFN
+            y = MoEFFN(C, self.mlp_ratio * C, self.num_experts,
+                       capacity_factor=self.moe_capacity_factor,
+                       aux_loss_weight=self.moe_aux_loss_weight,
+                       trainable=self.trainable, name="moe")(y, train=train)
+            y = Dropout(self.drop_rate, name="drop2")(y, train=train)
+        else:
+            y = Linear(C, self.mlp_ratio * C, trainable=self.trainable,
+                       weight_init=_W_INIT, bias_init=_ZEROS, name="fc1")(y)
+            y = nn.gelu(y, approximate=False)  # torch GELU default: exact
+            y = Dropout(self.drop_rate, name="drop1")(y, train=train)
+            y = Linear(self.mlp_ratio * C, C, trainable=self.trainable,
+                       weight_init=_W_INIT, bias_init=_ZEROS, name="fc2")(y)
+            y = Dropout(self.drop_rate, name="drop2")(y, train=train)
         return x + DropPath(self.drop_path_rate, name="drop_path2")(
             y, train=train)
 
@@ -141,6 +154,7 @@ class VisionTransformer(nn.Module):
     pretrain_img_size: int = 224          # grid the pos table is stored at
     with_cls_token: bool = True           # cls token attends with patches
     out_indices: Sequence[int] = (-1,)    # blocks to tap (NHWC maps)
+    output_cls_token: bool = False        # yield (map, cls) tuples (DPT)
     final_norm: bool = False              # LN after the last block
     interpolate_mode: str = "bicubic"     # pos-table resize kernel
     mlp_ratio: int = 4
@@ -152,6 +166,13 @@ class VisionTransformer(nn.Module):
     with_cp: bool = False
     pretrained: Optional[str] = None
     init_cfg: Optional[Any] = None
+    # MoE: replace the dense MLP with a Switch top-1 MoE FFN in the
+    # blocks listed in moe_layers (default: every second block, the
+    # Switch/GShard convention) — see models/utils/moe.py
+    num_experts: int = 0
+    moe_layers: Optional[Sequence[int]] = None
+    moe_capacity_factor: float = 1.25
+    moe_aux_loss_weight: float = 0.01
 
     def setup(self):
         if self.arch not in ARCH_TABLE and (
@@ -193,12 +214,18 @@ class VisionTransformer(nn.Module):
                for i in range(depth)]
         block_cls = (nn.remat(ViTBlock, static_argnums=(2,))
                      if self.with_cp else ViTBlock)
+        moe_ids = (set(self.moe_layers) if self.moe_layers is not None
+                   else set(range(1, depth, 2))) \
+            if self.num_experts >= 2 else set()
         self.blocks = [
             block_cls(dims, heads, mlp_ratio=self.mlp_ratio,
                       qkv_bias=self.qkv_bias, drop_rate=self.drop_rate,
                       attn_drop_rate=self.attn_drop_rate,
                       drop_path_rate=dpr[i],
                       trainable=i >= self.frozen_stages,
+                      num_experts=self.num_experts if i in moe_ids else 0,
+                      moe_capacity_factor=self.moe_capacity_factor,
+                      moe_aux_loss_weight=self.moe_aux_loss_weight,
                       name=f"block{i}")
             for i in range(depth)
         ]
@@ -241,7 +268,13 @@ class VisionTransformer(nn.Module):
             if i == self.depth - 1 and self.final_norm:
                 x = self.norm1(x)
             if i in self.out_ids:
-                outs.append(x[:, lead:].reshape(N, gh, gw, self.dims))
+                fmap = x[:, lead:].reshape(N, gh, gw, self.dims)
+                if self.output_cls_token:
+                    assert self.with_cls_token, \
+                        "output_cls_token requires with_cls_token"
+                    outs.append((fmap, x[:, 0]))
+                else:
+                    outs.append(fmap)
         if len(outs) == 1:
             return outs[0]
         return tuple(outs)

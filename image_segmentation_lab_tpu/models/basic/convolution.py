@@ -151,6 +151,68 @@ class Conv3d(_ConvND):
     num_spatial_dims: int = 3
 
 
+@CONVOLUTION.register("ConvTranspose2d", aliases=("deconv",))
+class ConvTranspose2d(nn.Module):
+    """torch ``nn.ConvTranspose2d`` semantics in NHWC (ERFNet's
+    upsampler and any ``conv_cfg=dict(type='deconv')``).
+
+    Lowered as an input-dilated forward conv: lhs_dilation=stride,
+    spatially-flipped kernel, per-side padding ``k-1-p`` (plus
+    ``output_padding`` on the high side) — bit-equivalent to torch's
+    gradient-of-conv definition, and exactly the form XLA pattern-
+    matches onto the MXU.  Weight layout (kh, kw, out, in) mirrors
+    torch's (in, out, kh, kw) for the checkpoint converter.
+    """
+
+    in_channels: int
+    out_channels: int
+    kernel_size: IntOrTuple
+    stride: IntOrTuple = 1
+    padding: IntOrTuple = 0
+    output_padding: IntOrTuple = 0
+    groups: int = 1
+    bias: bool = True
+    dilation: IntOrTuple = 1
+    trainable: bool = True
+    weight_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        assert self.groups == 1, "grouped deconv not needed by any config"
+        assert _ntuple(self.dilation, 2) == (1, 1), \
+            "dilated deconv not needed by any config"
+        k = _ntuple(self.kernel_size, 2)
+        s = _ntuple(self.stride, 2)
+        p = _ntuple(self.padding, 2)
+        op = _ntuple(self.output_padding, 2)
+        assert all(o < st for o, st in zip(op, s)), \
+            "output_padding must be smaller than stride (torch contract)"
+
+        kshape = k + (self.out_channels, self.in_channels)
+        # torch kaiming-uniform on (in, out, kh, kw): fan_in = out*k*k
+        fan_in = int(np.prod(k)) * self.out_channels
+        w_init = self.weight_init or kaiming_uniform_torch(fan_in)
+        weight = create_param(self, "weight", w_init, kshape, self.trainable)
+        bias = None
+        if self.bias:
+            b_init = self.bias_init or kaiming_uniform_torch(fan_in)
+            bias = create_param(self, "bias", b_init,
+                                (self.out_channels,), self.trainable)
+
+        x, weight = compute_cast(x, weight)
+        weight = weight[::-1, ::-1]          # rot180: transpose-conv kernel
+        pads = [(k[i] - 1 - p[i], k[i] - 1 - p[i] + op[i]) for i in (0, 1)]
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, weight.shape, ("NHWC", "HWOI", "NHWC"))
+        out = jax.lax.conv_general_dilated(
+            x, weight, window_strides=(1, 1), padding=pads,
+            lhs_dilation=s, dimension_numbers=dn)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 class Linear(nn.Module):
     """Torch-style dense layer (used by heads/tools; not in a registry).
 

@@ -100,7 +100,13 @@ def build_train_step_fn(model, tx: optax.GradientTransformation,
                 variables, img, gt, img_metas={}, rescale=False,
                 return_loss=True, train=True,
                 rngs={"dropout": dropout_rng},
-                mutable=["batch_stats"])
+                mutable=["batch_stats", "moe_losses"])
+            # MoE blocks sow their Switch load-balancing aux losses into
+            # 'moe_losses' (models/utils/moe.py); fold them into the total
+            moe = mutated.get("moe_losses")
+            if moe:
+                losses = dict(losses, loss_moe_aux=sum(
+                    jnp.sum(l) for l in jax.tree_util.tree_leaves(moe)))
             loss, log_vars = parse_losses(losses)
             return loss, (mutated, log_vars)
 
