@@ -5,6 +5,8 @@ from .cc_head import CCHead, CrissCrossAttention
 from .da_head import CAM, DAHead, PAM
 from .dm_head import DCM, DMHead
 from .dnl_head import DisentangledNonLocal2d, DNLHead
+from .dpt_head import (DPTHead, FeatureFusionBlock, PreActResidualConvUnit,
+                       ReassembleBlocks)
 from .ema_head import EMAHead, EMAModule
 from .enc_head import EncHead, Encoding, EncModule
 from .decode_head import BaseDecodeHead
