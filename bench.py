@@ -318,6 +318,7 @@ def main():
 
     segformer_ips = None
     setr_ips = None
+    segnext_ips = None
     if not args.quick and not args.no_zoo_bench:
         segformer_ips = measure_whole_config(
             "configs/network/segformer/segformer_mit-b0.py",
@@ -326,6 +327,10 @@ def main():
         # (ops/pallas/flash_attention.py) on its 1601-token sequences
         setr_ips = measure_whole_config(
             "configs/network/setr/setr_pup_vit-s.py", iters=max(iters, 5))
+        # SegNeXt-T: strip-conv attention + NMF hamburger decoder
+        segnext_ips = measure_whole_config(
+            "configs/network/segnext/segnext_mscan-t.py",
+            iters=max(iters, 5))
 
     result = {
         "metric": METRIC,
@@ -347,6 +352,8 @@ def main():
                 round(segformer_ips, 3) if segformer_ips else None),
             "setr_vits_whole640_images_per_sec": (
                 round(setr_ips, 3) if setr_ips else None),
+            "segnext_t_whole640_images_per_sec": (
+                round(segnext_ips, 3) if segnext_ips else None),
             "quick": args.quick,
         },
     }

@@ -15,5 +15,6 @@ from .resnest import ResNeSt, SplAtBottleneck, SplitAttentionConv2d
 from .resnet import ResNet, ResNetV1c, ResNetV1d
 from .stdc import STDCContextPathNet, STDCModule, STDCNet
 from .swin import SwinTransformer
+from .twins import PCPVT, SVT, LocallyGroupedSelfAttention
 from .unet import UNet
 from .vit import VisionTransformer
