@@ -2,6 +2,7 @@ from .bisenetv1 import BiSeNetV1
 from .bisenetv2 import BiSeNetV2
 from .cgnet import CGNet, ContextGuidedBlock, GlobalContextExtractor
 from .convnext import ConvNeXt
+from .ddrnet import DAPPM, DDRNet
 from .erfnet import ERFNet, NonBottleneck1d
 from .fast_scnn import FastSCNN
 from .hrnet import HRModule, HRNet
