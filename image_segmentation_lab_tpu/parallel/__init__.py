@@ -11,6 +11,7 @@ from .fsdp import (fsdp_memory_fraction, fsdp_state_shardings,
                    make_fsdp_eval_step, make_fsdp_train_step,
                    shard_state_fsdp)
 from .pipeline import gpipe, microbatch, stack_stage_params
+from .ring import ring_attention
 from .tensor import (TRANSFORMER_TP_RULES, make_tp_eval_step,
                      make_tp_train_step, shard_state_tp, tp_shardings)
 from .zero import (make_zero1_train_step, shard_state_zero1,
