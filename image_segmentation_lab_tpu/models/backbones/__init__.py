@@ -11,6 +11,7 @@ from .mit import MixVisionTransformer
 from .mobilenet_v2 import MobileNetV2
 from .mscan import MSCAN
 from .mobilenet_v3 import MobileNetV3
+from .pidnet import PAPPM, Bag, LightBag, PagFM, PIDNet
 from .res2net import Bottle2neck, Res2Net
 from .resnest import ResNeSt, SplAtBottleneck, SplitAttentionConv2d
 from .resnet import ResNet, ResNetV1c, ResNetV1d

@@ -16,6 +16,7 @@ from .isa_head import ISAHead
 from .fcn_head import FCNHead
 from .fpn_head import FPNHead
 from .nl_head import NLHead
+from .pid_head import PIDHead, boundary_from_label
 from .point_head import PointHead
 from .psa_head import PSAHead, psa_mask
 from .lraspp_head import LRASPPHead
