@@ -1,3 +1,4 @@
+from .beit import BEiT, BEiTAttention, BEiTBlock
 from .bisenetv1 import BiSeNetV1
 from .bisenetv2 import BiSeNetV2
 from .cgnet import CGNet, ContextGuidedBlock, GlobalContextExtractor
@@ -12,6 +13,7 @@ from .mobilenet_v2 import MobileNetV2
 from .mscan import MSCAN
 from .mobilenet_v3 import MobileNetV3
 from .pidnet import PAPPM, Bag, LightBag, PagFM, PIDNet
+from .poolformer import PoolFormer, PoolFormerBlock
 from .res2net import Bottle2neck, Res2Net
 from .resnest import ResNeSt, SplAtBottleneck, SplitAttentionConv2d
 from .resnet import ResNet, ResNetV1c, ResNetV1d
