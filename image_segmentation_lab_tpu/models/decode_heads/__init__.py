@@ -13,6 +13,7 @@ from .decode_head import BaseDecodeHead
 from .gc_head import ContextBlock, GCHead
 from .ham_head import Hamburger, LightHamHead, NMF2D
 from .isa_head import ISAHead
+from .knet_head import (IterativeDecodeHead, KernelUpdateHead, KernelUpdator)
 from .fcn_head import FCNHead
 from .fpn_head import FPNHead
 from .nl_head import NLHead
