@@ -21,6 +21,9 @@ from .pid_head import PIDHead, boundary_from_label
 from .point_head import PointHead
 from .psa_head import PSAHead, psa_mask
 from .lraspp_head import LRASPPHead
+from .maskformer_head import (CrossAttention, DETRDecoderLayer,
+                              MaskFormerHead, PixelDecoder,
+                              sine_positional_encoding)
 from .ocr_head import OCRHead
 from .psp_head import PPM, PSPHead
 from .segformer_head import SegFormerHead
