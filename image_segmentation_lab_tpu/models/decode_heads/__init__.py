@@ -21,6 +21,7 @@ from .pid_head import PIDHead, boundary_from_label
 from .point_head import PointHead
 from .psa_head import PSAHead, psa_mask
 from .lraspp_head import LRASPPHead
+from .mask2former_head import Mask2FormerDecoderLayer, Mask2FormerHead
 from .maskformer_head import (CrossAttention, DETRDecoderLayer,
                               MaskFormerHead, PixelDecoder,
                               sine_positional_encoding)

@@ -86,7 +86,11 @@ class CrossAttention(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, q_in, k_in, v_in, train: bool = False):
+    def __call__(self, q_in, k_in, v_in, train: bool = False,
+                 blocked=None):
+        """``blocked`` (N, Lq, Lk) bool: True keys get −inf score (the
+        Mask2Former masked attention); rows that block everything fall
+        back to full attention (upstream safeguard)."""
         C, h = self.embed_dims, self.num_heads
         d = C // h
         N, Lq = q_in.shape[:2]
@@ -99,7 +103,11 @@ class CrossAttention(nn.Module):
                    name="v_proj")(v_in).reshape(N, Lk, h, d)
         scores = jnp.einsum("nlhd,nshd->nhls", q, k,
                             preferred_element_type=jnp.float32)
-        attn = nn.softmax(scores / math.sqrt(d), axis=-1)
+        scores = scores / math.sqrt(d)
+        if blocked is not None:
+            keep = ~blocked | jnp.all(blocked, axis=-1, keepdims=True)
+            scores = jnp.where(keep[:, None], scores, -1e30)
+        attn = nn.softmax(scores, axis=-1)
         out = jnp.einsum("nhls,nshd->nlhd", attn.astype(v.dtype), v)
         return Linear(C, C, weight_init=_W_INIT, bias_init=_ZEROS,
                       name="out_proj")(out.reshape(N, Lq, C))
@@ -158,14 +166,20 @@ class PixelDecoder(nn.Module):
                                    padding=1, weight_init=_W_INIT,
                                    bias_init=_ZEROS)
 
-    def __call__(self, feats, train: bool = False):
+    def __call__(self, feats, train: bool = False,
+                 return_multi_scale: bool = False):
         y = self.last_feat_conv(feats[-1], train=train)
+        levels = [y]                      # coarsest-first top-down taps
         for i in range(len(feats) - 2, -1, -1):
             lat = self.laterals[i](feats[i], train=train)
             y = lat + resize(y, size=lat.shape[1:3], mode="bilinear",
                              align_corners=False)
             y = self.outputs[i](y, train=train)
-        return self.mask_feature(y, train=train), feats[-1]
+            levels.append(y)
+        mask_feature = self.mask_feature(y, train=train)
+        if return_multi_scale:
+            return mask_feature, levels
+        return mask_feature, feats[-1]
 
 
 def _focal_cost(mask_logits, gt_masks, alpha=0.25, gamma=2.0):
@@ -218,16 +232,13 @@ class MaskFormerHead(BaseDecodeHead):
         gn = dict(type="GN", num_groups=math.gcd(32, fc))
         self.pixel_decoder = PixelDecoder(self.in_channels, fc, C,
                                           norm_cfg=gn)
-        self.memory_proj = Conv2d(self.in_channels[-1], C, 1,
-                                  weight_init=_W_INIT, bias_init=_ZEROS)
+        if self._uses_raw_memory:
+            self.memory_proj = Conv2d(self.in_channels[-1], C, 1,
+                                      weight_init=_W_INIT, bias_init=_ZEROS)
         from ..basic.param_utils import create_param
         self.query_embed = create_param(self, "query_embed", _W_INIT,
                                         (self.num_queries, C), True)
-        self.decoder_layers = [
-            DETRDecoderLayer(C, self.num_heads, self.feedforward_channels,
-                             name=f"layer{i}")
-            for i in range(self.num_decoder_layers)
-        ]
+        self.decoder_layers = self._make_decoder_layers()
         self.decoder_norm = LayerNorm(C, name="decoder_norm")
         self.cls_embed = Linear(C, self.num_classes + 1,
                                 weight_init=_W_INIT, bias_init=_ZEROS)
@@ -239,6 +250,17 @@ class MaskFormerHead(BaseDecodeHead):
         # no conv_seg and no loss_decode: queries classify, and the
         # matching losses (CE + focal + dice with upstream weights) are
         # the head's own — see _layer_loss
+
+    # subclass hooks (Mask2Former swaps the layer type and reads memory
+    # from the pixel decoder instead of the raw C5)
+    _uses_raw_memory = True
+
+    def _make_decoder_layers(self):
+        return [
+            DETRDecoderLayer(self.channels, self.num_heads,
+                             self.feedforward_channels, name=f"layer{i}")
+            for i in range(self.num_decoder_layers)
+        ]
 
     def _check_inputs(self):
         assert isinstance(self.in_channels, (list, tuple))
