@@ -319,7 +319,11 @@ def main():
     segformer_ips = None
     setr_ips = None
     segnext_ips = None
+    pidnet_ips = None
     if not args.quick and not args.no_zoo_bench:
+        # PIDNet-S: the realtime three-branch family (round-3 addition)
+        pidnet_ips = measure_whole_config(
+            "configs/network/pidnet/pidnet-s.py", iters=max(iters, 5))
         segformer_ips = measure_whole_config(
             "configs/network/segformer/segformer_mit-b0.py",
             iters=max(iters, 5))
@@ -354,6 +358,8 @@ def main():
                 round(setr_ips, 3) if setr_ips else None),
             "segnext_t_whole640_images_per_sec": (
                 round(segnext_ips, 3) if segnext_ips else None),
+            "pidnet_s_whole640_images_per_sec": (
+                round(pidnet_ips, 3) if pidnet_ips else None),
             "quick": args.quick,
         },
     }
