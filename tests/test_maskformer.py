@@ -49,6 +49,26 @@ def test_auction_respects_valid_rows(rng):
                                atol=1e-4)
 
 
+def test_auction_edge_cases(rng):
+    # all rows invalid: immediate termination, everything unassigned
+    col, owner = auction_assignment(jnp.ones((3, 5)),
+                                    valid_rows=jnp.zeros(3, bool))
+    assert (np.asarray(col) == -1).all() and (np.asarray(owner) == -1).all()
+    # square T == Q stays optimal
+    c = rng.randn(6, 6).astype(np.float32)
+    col, _ = auction_assignment(jnp.asarray(c))
+    ri, ci = linear_sum_assignment(c)
+    np.testing.assert_allclose(c[np.arange(6), np.asarray(col)].sum(),
+                               c[ri, ci].sum(), atol=1e-4)
+    # maximal ties still yield a permutation (eps breaks the deadlock)
+    col, _ = auction_assignment(jnp.zeros((4, 4)))
+    assert sorted(np.asarray(col).tolist()) == [0, 1, 2, 3]
+    # vmap over a batch of cost matrices (how the head uses it)
+    cb = rng.randn(5, 3, 8).astype(np.float32)
+    cols = jax.vmap(lambda c: auction_assignment(c)[0])(jnp.asarray(cb))
+    assert cols.shape == (5, 3)
+
+
 # ------------------------------------------------------- cost goldens
 
 def t_focal_cost(mask_logits, gt, alpha=0.25, gamma=2.0, eps=1e-12):
