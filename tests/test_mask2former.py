@@ -40,6 +40,87 @@ def test_masked_cross_attention_blocks_keys(rng):
                                atol=1e-5)
 
 
+def t_cross_attn(p, q_in, k_in, v_in, heads, blocked=None):
+    import torch
+    import torch.nn.functional as TF
+    from test_zoo_torch_parity import P as getp
+    import math
+
+    def lin(x, path):
+        w = torch.from_numpy(np.asarray(getp(p, path + "/weight")))
+        b = torch.from_numpy(np.asarray(getp(p, path + "/bias")))
+        return TF.linear(x, w.t(), b)
+
+    N, Lq, C = q_in.shape
+    Lk = k_in.shape[1]
+    d = C // heads
+    q = lin(q_in, "q_proj").reshape(N, Lq, heads, d).permute(0, 2, 1, 3)
+    k = lin(k_in, "k_proj").reshape(N, Lk, heads, d).permute(0, 2, 1, 3)
+    v = lin(v_in, "v_proj").reshape(N, Lk, heads, d).permute(0, 2, 1, 3)
+    scores = q @ k.transpose(-2, -1) / math.sqrt(d)
+    if blocked is not None:
+        keep = ~blocked | blocked.all(-1, keepdim=True)
+        scores = scores.masked_fill(~keep.unsqueeze(1), -1e30)
+    attn = scores.softmax(-1)
+    out = (attn @ v).permute(0, 2, 1, 3).reshape(N, Lq, C)
+    return lin(out, "out_proj")
+
+
+def test_mask2former_decoder_layer_matches_torch(rng):
+    """Torch twin of the post-norm cross-first decoder layer incl. the
+    masked attention."""
+    import torch
+    import torch.nn.functional as TF
+    from test_zoo_torch_parity import P as getp, randomize
+    from image_segmentation_lab_tpu.models.decode_heads.mask2former_head \
+        import Mask2FormerDecoderLayer
+
+    torch.set_grad_enabled(False)
+    C, heads, Q, L = 16, 2, 5, 12
+    m = Mask2FormerDecoderLayer(C, heads, 32)
+    x = rng.randn(2, Q, C).astype(np.float32)
+    mem = rng.randn(2, L, C).astype(np.float32)
+    qpos = rng.randn(1, Q, C).astype(np.float32)
+    mpos = rng.randn(1, L, C).astype(np.float32)
+    blocked = rng.rand(2, Q, L) > 0.5
+    blocked[0, 1] = True      # one fully-blocked row exercises the fallback
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(mem), jnp.asarray(qpos),
+                       jnp.asarray(mpos), jnp.asarray(blocked))
+    variables = randomize(variables, seed=241)
+    out = m.apply(variables, jnp.asarray(x), jnp.asarray(mem),
+                  jnp.asarray(qpos), jnp.asarray(mpos),
+                  jnp.asarray(blocked), mutable=False)
+
+    p = variables["params"]
+
+    def ln(x, path):
+        w = torch.from_numpy(np.asarray(getp(p, path + "/weight")))
+        b = torch.from_numpy(np.asarray(getp(p, path + "/bias")))
+        return TF.layer_norm(x, w.shape, w, b, eps=1e-5)
+
+    tx = torch.from_numpy(x)
+    tmem = torch.from_numpy(mem)
+    tqp = torch.from_numpy(qpos)
+    tmp = torch.from_numpy(mpos)
+    tb = torch.from_numpy(blocked)
+    y = t_cross_attn(p["cross_attn"], tx + tqp, tmem + tmp, tmem, heads,
+                     blocked=tb)
+    tx = ln(tx + y, "norm1")
+    y = t_cross_attn(p["self_attn"], tx + tqp, tx + tqp, tx, heads)
+    tx = ln(tx + y, "norm2")
+
+    def lin(x, path):
+        w = torch.from_numpy(np.asarray(getp(p, path + "/weight")))
+        b = torch.from_numpy(np.asarray(getp(p, path + "/bias")))
+        return TF.linear(x, w.t(), b)
+
+    y = lin(TF.relu(lin(tx, "ffn_fc1")), "ffn_fc2")
+    want = ln(tx + y, "norm3")
+    np.testing.assert_allclose(np.asarray(out), want.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
 def _tiny_cfg():
     norm = dict(type="BN")
     return dict(

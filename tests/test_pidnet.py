@@ -193,6 +193,101 @@ def test_boundary_loss_matches_torch(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
 
 
+# --------------------------------------------------------- full backbone
+
+def t_basic(x, p, s, prefix, stride=1):
+    out = TF.relu(tbn(tconv(x, P(p, prefix + "/conv1/weight"), stride, 1),
+                      p, s, prefix + "/bn1"))
+    out = tbn(tconv(out, P(p, prefix + "/conv2/weight"), 1, 1),
+              p, s, prefix + "/bn2")
+    identity = x
+    if "downsample_conv" in P(p, prefix):
+        identity = tbn(tconv(x, P(p, prefix + "/downsample_conv/weight"),
+                             stride, 0), p, s, prefix + "/downsample_bn")
+    return TF.relu(out + identity)
+
+
+def t_bottle(x, p, s, prefix, stride=1):
+    out = TF.relu(tbn(tconv(x, P(p, prefix + "/conv1/weight"), 1, 0),
+                      p, s, prefix + "/bn1"))
+    out = TF.relu(tbn(tconv(out, P(p, prefix + "/conv2/weight"), stride, 1),
+                      p, s, prefix + "/bn2"))
+    out = tbn(tconv(out, P(p, prefix + "/conv3/weight"), 1, 0),
+              p, s, prefix + "/bn3")
+    identity = x
+    if "downsample_conv" in P(p, prefix):
+        identity = tbn(tconv(x, P(p, prefix + "/downsample_conv/weight"),
+                             stride, 0), p, s, prefix + "/downsample_bn")
+    return TF.relu(out + identity)
+
+
+def _up(x, size):
+    return TF.interpolate(x, size=size, mode="bilinear", align_corners=False)
+
+
+def t_pidnet_s(p, s, x):
+    """Full PIDNet-S forward twin mirroring pidnet.py __call__."""
+    for i in range(2):
+        x = TF.relu(tbn(tconv(x, P(p, f"stem_{i}/conv/weight"), 2, 1),
+                        p, s, f"stem_{i}/bn"))
+    for j in range(2):
+        x = t_basic(x, p, s, f"layer1_{j}")
+    x = TF.relu(x)
+    for j in range(2):
+        x = t_basic(x, p, s, f"layer2_{j}", stride=2 if j == 0 else 1)
+
+    # stage 3
+    x_i = TF.relu(x)
+    for j in range(3):
+        x_i = t_basic(x_i, p, s, f"i_layer3_{j}", stride=2 if j == 0 else 1)
+    x_i = TF.relu(x_i)
+    x_p = t_basic(t_basic(x, p, s, "p_layer3_0"), p, s, "p_layer3_1")
+    x_d = t_basic(x, p, s, "d_layer3_0")
+    comp = _convbn(TF.relu(x_i), p, s, "compression3")
+    x_p = t_pagfm(p["pag3"], s["pag3"], x_p, comp)
+    x_d = x_d + _up(_convbn(TF.relu(x_i), p, s, "diff3", pad=1),
+                    x_d.shape[2:])
+    p_tap = x_p
+
+    # stage 4
+    x_i2 = TF.relu(x_i)
+    for j in range(3):
+        x_i2 = t_basic(x_i2, p, s, f"i_layer4_{j}", stride=2 if j == 0 else 1)
+    x_i2 = TF.relu(x_i2)
+    x_p = t_basic(t_basic(TF.relu(x_p), p, s, "p_layer4_0"), p, s,
+                  "p_layer4_1")
+    x_d = t_bottle(TF.relu(x_d), p, s, "d_layer4_0")
+    comp = _convbn(TF.relu(x_i2), p, s, "compression4")
+    x_p = t_pagfm(p["pag4"], s["pag4"], x_p, comp)
+    x_d = x_d + _up(_convbn(TF.relu(x_i2), p, s, "diff4", pad=1),
+                    x_d.shape[2:])
+    d_tap = x_d
+
+    # stage 5 + PAPPM + LightBag
+    x_i3 = t_bottle(t_bottle(TF.relu(x_i2), p, s, "i_layer5_0", stride=2),
+                    p, s, "i_layer5_1")
+    x_p = t_bottle(TF.relu(x_p), p, s, "p_layer5_0")
+    x_d = t_bottle(TF.relu(x_d), p, s, "d_layer5_0")
+    ctx = t_pappm(p["spp"], s["spp"], x_i3)
+    ctx = _up(ctx, x_p.shape[2:])
+    out = t_lightbag(p["dfm"], s["dfm"], x_p, ctx, x_d)
+    return p_tap, d_tap, out
+
+
+def test_pidnet_s_full_backbone_matches_torch(rng):
+    m = build_module_from_cfg(dict(type="PIDNet", channels=8,
+                                   ppm_channels=12,
+                                   norm_cfg=dict(type="BN")), BACKBONE)
+    x = rng.randn(1, 64, 64, 3).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = randomize(variables, seed=205)
+    p_tap, d_tap, out = m.apply(variables, jnp.asarray(x), mutable=False)
+    refs = t_pidnet_s(variables["params"], variables["batch_stats"],
+                      _t(x.transpose(0, 3, 1, 2)))
+    for got, want in zip((p_tap, d_tap, out), refs):
+        assert_feature_parity(got, want)
+
+
 # --------------------------------------------------------------- network
 
 def test_pidnet_backbone_contract(rng):
