@@ -310,6 +310,25 @@ class MaskFormerHead(BaseDecodeHead):
         all_cls, all_masks = self._forward_all(inputs, train)
         return self._semantic_logits(all_cls[-1], all_masks[-1])
 
+    def instance_results(self, inputs, score_threshold: float = 0.0,
+                         train: bool = False):
+        """Per-query mask-classification results (the raw form panoptic/
+        instance consumers want; upstream exposes the same triple):
+        ``(labels (N,Q) int — argmax class, scores (N,Q) f32 — that
+        class's probability zeroed below ``score_threshold`` or when the
+        argmax is "no object", masks (N,Q,H,W) bool — sigmoid > 0.5)``.
+        Static shapes: Q slots always come back; filter by ``scores >
+        0``."""
+        all_cls, all_masks = self._forward_all(inputs, train)
+        probs = jax.nn.softmax(all_cls[-1].astype(jnp.float32), axis=-1)
+        labels = jnp.argmax(probs[..., :-1], axis=-1)
+        scores = jnp.max(probs[..., :-1], axis=-1)
+        is_object = jnp.argmax(probs, axis=-1) != self.num_classes
+        scores = jnp.where(is_object & (scores > score_threshold),
+                           scores, 0.0)
+        masks = jax.nn.sigmoid(all_masks[-1].astype(jnp.float32)) > 0.5
+        return labels, scores, masks
+
     # ------------------------------------------------------------- losses
     def _layer_loss(self, cls_scores, mask_preds, gt_masks, valid):
         """Single-image loss; vmapped over the batch.

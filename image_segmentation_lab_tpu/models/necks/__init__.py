@@ -1,3 +1,4 @@
 from .featurepyramid import Feature2Pyramid
 from .fpn import FPN
+from .jpu import JPU
 from .mla_neck import MLAModule, MLANeck

@@ -235,6 +235,23 @@ def test_maskformer_loss_prefers_correct_assignment(rng):
     assert float(ld1) < 0.05
 
 
+def test_instance_results_api(rng):
+    """Static-shape per-query mask-classification results through the
+    head (the segmentor API stays semantic)."""
+    from image_segmentation_lab_tpu.core.registry_hub import DECODEHEAD
+    from image_segmentation_lab_tpu.models.builder import \
+        build_module_from_cfg
+    h = build_module_from_cfg(_tiny_cfg()["decode_head"], DECODEHEAD)
+    feats = [jnp.asarray(rng.randn(2, 32 // s, 32 // s, c).astype(np.float32))
+             for s, c in zip((4, 8, 16, 32), (8, 16, 32, 64))]
+    hv = h.init(jax.random.PRNGKey(0), feats)
+    labels, scores, masks = h.apply(hv, feats, method="instance_results",
+                                    mutable=False)
+    assert labels.shape == (2, 8) and scores.shape == (2, 8)
+    assert masks.shape[:2] == (2, 8) and masks.dtype == bool
+    assert int(np.asarray(labels).max()) < 3 and float(scores.min()) >= 0.0
+
+
 def test_maskformer_config_builds():
     from image_segmentation_lab_tpu.core.fileio.parse import \
         parse_and_backup_config
