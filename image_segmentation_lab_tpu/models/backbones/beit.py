@@ -20,8 +20,13 @@ BEiT-pretrained weights:
 
 TPU shape notes: the bias table lives at the pretraining grid
 (``pretrain_img_size // patch_size``); at any other trace-time grid the
-(2g-1)x(2g-1) bias field is resampled with the separable-matmul bicubic
-(the standard BEiT fine-tuning procedure), and the (L+1)x(L+1) gather
+(2g-1)x(2g-1) bias field is resampled with the separable-matmul
+bicubic.  (Divergence note: upstream resamples ONCE at checkpoint-load
+with a geometric-spacing scipy interpolation; here it happens inside
+the traced program with the framework bicubic — same field, different
+kernel, so fine-tuning from a resampled table differs numerically from
+upstream's.  Chosen because it keeps the stored table
+resolution-independent and the program static.)  The (L+1)x(L+1) gather
 from table to score layout is a static integer index built at trace
 time — XLA folds it into a constant gather.  Attention runs on the
 einsum path (f32 scores + bias + f32 softmax); the fused flash kernel

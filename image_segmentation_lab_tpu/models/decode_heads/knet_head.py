@@ -29,7 +29,7 @@ upstream's stage-wise deep supervision; eval uses the final stage.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

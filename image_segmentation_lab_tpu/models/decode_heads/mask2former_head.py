@@ -29,8 +29,6 @@ quality; dense is exact).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -47,7 +47,6 @@ from ...core.registry_hub import DECODEHEAD
 from ...core.initialize.init_functions import constant_, trunc_normal_
 from ...ops.matching import auction_assignment
 from ...utils.ops import resize
-from ..backbones.vit import MultiheadAttention
 from ..basic.convolution import Conv2d, Linear
 from ..basic.normalization import LayerNorm
 from ..common.conv_module import ConvModule
@@ -349,13 +348,17 @@ class MaskFormerHead(BaseDecodeHead):
                 + self.dice_weight * _dice_cost(mp, gm))
         cost = jax.lax.stop_gradient(cost)
         col, _ = auction_assignment(cost, valid_rows=valid)
-        col = jnp.where(valid, col, 0)
+        # a valid row can in principle exit unassigned (col == -1) if the
+        # auction hits max_iters; negative indices WRAP in jax scatter
+        # (even mode='drop') and gather, so gate every use on `matched`
+        matched = valid & (col >= 0)
+        col = jnp.where(matched, col, 0)
 
         # classification: matched queries get their class, rest no-object
-        # (invalid rows scatter to the out-of-range index Q → dropped,
+        # (unmatched rows scatter to the out-of-range index Q → dropped,
         # so they can never collide with a real match on query 0)
         labels = jnp.full((Q,), K, jnp.int32)
-        labels = labels.at[jnp.where(valid, col, Q)].set(
+        labels = labels.at[jnp.where(matched, col, Q)].set(
             jnp.arange(K), mode="drop")
         logp = jax.nn.log_softmax(cls_scores.astype(jnp.float32), axis=-1)
         cw = jnp.concatenate([jnp.ones((K,), jnp.float32),
@@ -372,7 +375,7 @@ class MaskFormerHead(BaseDecodeHead):
                  * (1 - p) ** self.focal_gamma
                  - (1 - g) * jnp.log(1 - p + 1e-12)
                  * (1 - self.focal_alpha) * p ** self.focal_gamma)
-        vf = valid.astype(jnp.float32)
+        vf = matched.astype(jnp.float32)
         n_masks = jnp.maximum(vf.sum(), 1.0)
         loss_mask = (focal.mean(-1) * vf).sum() / n_masks
         inter = 2 * (p * g).sum(-1)

@@ -27,7 +27,7 @@ derivation in ``tests/test_pidnet.py``).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

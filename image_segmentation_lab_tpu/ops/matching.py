@@ -30,12 +30,18 @@ NEG = -1e30
 
 
 def auction_assignment(cost: jnp.ndarray, valid_rows: jnp.ndarray = None,
-                       eps: float = 1e-4, max_iters: int = 2000):
+                       eps: float = 1e-4, max_iters: int = 5000):
     """Min-cost assignment of T rows to Q columns (T <= Q).
 
     cost (T, Q) f32; valid_rows (T,) bool — padded rows never bid.
     Returns (col_of_row (T,) int32 — −1 for invalid rows, owner (Q,)
     int32 — row owning each column or −1).
+
+    A valid row exits with −1 only if ``max_iters`` is exhausted first
+    (pathological near-tie bidding wars; the loop exits early on
+    convergence, so a generous bound is cheap) — callers must gate
+    index uses on ``col >= 0`` because negative indices WRAP in jax
+    gathers/scatters.
     """
     T, Q = cost.shape
     assert T <= Q, (T, Q)
