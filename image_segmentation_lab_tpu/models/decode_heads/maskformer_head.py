@@ -328,6 +328,50 @@ class MaskFormerHead(BaseDecodeHead):
         masks = jax.nn.sigmoid(all_masks[-1].astype(jnp.float32)) > 0.5
         return labels, scores, masks
 
+    def panoptic_map(self, inputs, object_mask_threshold: float = 0.8,
+                     overlap_threshold: float = 0.8, train: bool = False):
+        """Standard MaskFormer panoptic post-processing (the detectron2
+        / mmdet recipe), static shapes throughout.
+
+        Queries above ``object_mask_threshold`` confidence compete per
+        pixel with score-weighted mask probabilities; a winning query
+        keeps its segment only if it retains more than
+        ``overlap_threshold`` of its own thresholded mask after the
+        argmax competition (fragmented queries are dropped).
+
+        Returns ``(query_id (N,H,W) int32 — winning query per pixel or
+        −1 for void, labels (N,Q) int32, keep (N,Q) bool)``; consumers
+        build panoptic ids as ``labels[query_id] * OFFSET +
+        instance_rank`` and mask out ``query_id == -1``.
+        """
+        all_cls, all_masks = self._forward_all(inputs, train)
+        probs = jax.nn.softmax(all_cls[-1].astype(jnp.float32), axis=-1)
+        scores = jnp.max(probs[..., :-1], axis=-1)            # (N, Q)
+        labels = jnp.argmax(probs[..., :-1], axis=-1).astype(jnp.int32)
+        is_object = jnp.argmax(probs, axis=-1) != self.num_classes
+        keep = is_object & (scores > object_mask_threshold)
+
+        mask_probs = jax.nn.sigmoid(all_masks[-1].astype(jnp.float32))
+        weighted = mask_probs * scores[:, :, None, None]
+        weighted = jnp.where(keep[:, :, None, None], weighted, -1.0)
+        query_id = jnp.argmax(weighted, axis=1).astype(jnp.int32)
+        any_kept = jnp.any(keep, axis=1)[:, None, None]
+
+        # overlap filter: kept area after competition / own mask area
+        binary = (mask_probs >= 0.5) & keep[:, :, None, None]
+        won = query_id[:, None] == jnp.arange(
+            mask_probs.shape[1])[None, :, None, None]
+        kept_area = jnp.sum(binary & won, axis=(2, 3))
+        own_area = jnp.maximum(jnp.sum(binary, axis=(2, 3)), 1)
+        keep = keep & (kept_area / own_area > overlap_threshold) \
+            & (kept_area > 0)
+
+        valid_px = any_kept & jnp.take_along_axis(
+            keep, query_id.reshape(keep.shape[0], -1), axis=1
+        ).reshape(query_id.shape)
+        query_id = jnp.where(valid_px, query_id, -1)
+        return query_id, labels, keep
+
     # ------------------------------------------------------------- losses
     def _layer_loss(self, cls_scores, mask_preds, gt_masks, valid):
         """Single-image loss; vmapped over the batch.

@@ -252,6 +252,38 @@ def test_instance_results_api(rng):
     assert int(np.asarray(labels).max()) < 3 and float(scores.min()) >= 0.0
 
 
+def test_panoptic_map_postprocessing(rng):
+    """Hand-set query outputs exercise the three panoptic rules:
+    confidence gate, per-pixel competition, overlap filter."""
+    from image_segmentation_lab_tpu.models.decode_heads.maskformer_head \
+        import MaskFormerHead
+    K, Q, h, w = 3, 4, 4, 8
+    head = _bare_head(K, Q)
+
+    cls_scores = np.full((1, Q, K + 1), -8.0, np.float32)
+    cls_scores[0, 0, 0] = 8.0    # confident, owns left half
+    cls_scores[0, 1, 1] = 8.0    # confident, owns right half
+    cls_scores[0, 2, 2] = 0.1    # NOT confident (score gate drops it)
+    cls_scores[0, 3, 2] = 8.0    # confident but fully overlapped by q0/q1
+    masks = np.full((1, Q, h, w), -9.0, np.float32)
+    masks[0, 0, :, :4] = 9.0
+    masks[0, 1, :, 4:] = 9.0
+    masks[0, 2] = 9.0
+    masks[0, 3] = 4.0            # high, but q0/q1 win every pixel
+
+    object.__setattr__(head, "_forward_all",
+                       lambda inputs, train: ([jnp.asarray(cls_scores)],
+                                              [jnp.asarray(masks)]))
+    qid, labels, keep = MaskFormerHead.panoptic_map(head, None)
+    qid = np.asarray(qid)[0]
+    keep = np.asarray(keep)[0]
+    assert keep[0] and keep[1]
+    assert not keep[2], "low-confidence query must be gated"
+    assert not keep[3], "fully-overlapped query must fail the overlap test"
+    assert (qid[:, :4] == 0).all() and (qid[:, 4:] == 1).all()
+    assert np.asarray(labels)[0, 0] == 0 and np.asarray(labels)[0, 1] == 1
+
+
 def test_maskformer_config_builds():
     from image_segmentation_lab_tpu.core.fileio.parse import \
         parse_and_backup_config
