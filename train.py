@@ -51,6 +51,11 @@ def parse_args():
                         help="override schedule epochs")
     parser.add_argument("--profile-dir", type=Path, default=None,
                         help="write a jax.profiler trace of epoch 0 here")
+    parser.add_argument("--ema-decay", type=float, default=None,
+                        help="maintain an EMA of the parameters (e.g. "
+                             "0.999); validation and best.pth use the "
+                             "smoothed weights, last.pth keeps the raw "
+                             "weights (resume restarts the EMA)")
     parser.add_argument("--ckpt-backend", default="pickle",
                         choices=["pickle", "orbax", "orbax_async"],
                         help="checkpoint format; orbax_async overlaps "
@@ -324,6 +329,14 @@ def main():
         print(f"data-parallel over {n_devices} devices: {mesh}")
     else:
         train_step = make_train_step(model, tx, pipeline=aug_pipeline)
+
+    ema_params_fn = None
+    if args.ema_decay is not None:
+        from image_segmentation_lab_tpu.utils.ema import \
+            wrap_train_step_with_ema
+        train_step, ema_params_fn = wrap_train_step_with_ema(
+            train_step, state.params, args.ema_decay)
+        print(f"EMA enabled (decay={args.ema_decay})")
     # rescale eval logits to the uniform original size ONLY when the dataset
     # supplies original-resolution ground truth — otherwise metrics compare
     # at pipeline resolution against pipeline labels
@@ -393,6 +406,10 @@ def main():
 
         val_vars, val_metrics = {}, {}
         fits = train_vars.get("loss", 0.0)
+        # validation + model selection run on the smoothed weights when
+        # EMA is on; last.pth below keeps the raw weights for resume
+        eval_state = (state.replace(params=ema_params_fn())
+                      if ema_params_fn else state)
         if not args.no_validate:
             evaluator = SegEvaluator(
                 epoch,
@@ -403,7 +420,7 @@ def main():
                               if val_dataset.ignore_index is not None else 255),
                 output_dir=str(save_dir / "pred_results"))
             val_vars, val_metrics = validate_one_epoch(
-                epoch, eval_step, state, val_loader, evaluator,
+                epoch, eval_step, eval_state, val_loader, evaluator,
                 pipeline=val_dataset.device_pipeline)
             print(f"epoch {epoch} val: " +
                   " ".join(f"{k}={v:.4f}" for k, v in val_vars.items()))
@@ -421,7 +438,7 @@ def main():
                    backend=args.ckpt_backend)
         if fits < best_fits:
             best_fits = fits
-            save_model(state, meta, best_pth, include_train_state=True,
+            save_model(eval_state, meta, best_pth, include_train_state=True,
                        backend=args.ckpt_backend)
             print(f"epoch {epoch}: new best fits={fits:.4f} → {best_pth}")
     if args.ckpt_backend == "orbax_async":
