@@ -164,6 +164,42 @@ def test_mask2former_trains_and_infers(rng):
     assert "query_feat" in params and "level_embed" in params
 
 
+def test_mask2former_dp_training_matches_single_device(rng):
+    """The matcher's vmapped lax.while_loop and the masked attention
+    must partition over the data mesh: 8-device DP == single-device
+    (matching is per-image, so sharding the batch cannot change it)."""
+    import pytest
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from image_segmentation_lab_tpu.core.builder import build_optimizer
+    from image_segmentation_lab_tpu.models.builder import build_segmentor
+    from image_segmentation_lab_tpu.parallel import (get_mesh,
+                                                     make_sharded_train_step,
+                                                     replicate, shard_batch)
+    from image_segmentation_lab_tpu.train_state import (create_train_state,
+                                                        make_train_step)
+    model = build_segmentor(_tiny_cfg())
+    tx = build_optimizer(dict(type="SGD", lr=0.1, momentum=0.9))
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+    gt = jnp.asarray(rng.randint(0, 3, size=(8, 32, 32)).astype(np.int32))
+
+    state1 = create_train_state(model, key, x[:1], gt[:1], tx)
+    step1 = make_train_step(model, tx, donate=False)
+    mesh = get_mesh(8)
+    state8 = replicate(create_train_state(model, key, x[:1], gt[:1], tx),
+                       mesh)
+    step8 = make_sharded_train_step(model, tx, mesh, donate=False)
+    xs, gts = shard_batch((x, gt), mesh)
+    k = jax.random.fold_in(key, 1)
+    state1, lv1 = step1(state1, x, gt, k)
+    state8, lv8 = step8(state8, xs, gts, k)
+    for key_ in ("loss", "decode.loss_cls", "decode.loss_mask",
+                 "decode.loss_dice"):
+        np.testing.assert_allclose(float(lv1[key_]), float(lv8[key_]),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_mask2former_config_builds():
     from image_segmentation_lab_tpu.core.fileio.parse import \
         parse_and_backup_config
