@@ -97,6 +97,37 @@ def test_beit_block_matches_torch(rng):
                                rtol=2e-3, atol=2e-4)
 
 
+def test_beit_full_backbone_matches_torch(rng):
+    """Full wiring at the pretraining grid (no table resample): patch
+    embed + cls token + blocks + final norm + taps."""
+    from test_zoo_torch_parity import tconv
+    grid, C, heads = 4, 16, 2
+    m = build_module_from_cfg(
+        dict(type="BEiT", embed_dims=C, num_layers=2, num_heads=heads,
+             patch_size=8, pretrain_img_size=32, out_indices=(0, 1),
+             final_norm=True), BACKBONE)
+    x = rng.randn(1, 32, 32, 3).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = randomize(variables, seed=223)
+    o0, o1 = m.apply(variables, jnp.asarray(x), mutable=False)
+    p = variables["params"]
+    h = tconv(torch.from_numpy(x.transpose(0, 3, 1, 2)),
+              P(p, "patch_embed_proj/weight"), stride=8,
+              bias=np.asarray(P(p, "patch_embed_proj/bias")))
+    toks = h.flatten(2).transpose(1, 2)                 # (1, 16, C)
+    cls = torch.from_numpy(np.asarray(P(p, "cls_token")))
+    toks = torch.cat([cls.expand(1, 1, C), toks], dim=1)
+    toks = t_beit_block(p["block0"], toks, heads, grid)
+    ref0 = toks[:, 1:].reshape(1, grid, grid, C)
+    toks = t_beit_block(p["block1"], toks, heads, grid)
+    toks = _tln(toks, p, "norm1")
+    ref1 = toks[:, 1:].reshape(1, grid, grid, C)
+    np.testing.assert_allclose(np.asarray(o0), ref0.numpy(),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(o1), ref1.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_beit_backbone_contract_and_table_resample(rng):
     m = build_module_from_cfg(
         dict(type="BEiT", embed_dims=16, num_layers=4, num_heads=2,

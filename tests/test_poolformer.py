@@ -48,6 +48,31 @@ def test_poolformer_block_matches_torch(rng):
     assert_feature_parity(out, ref)
 
 
+def test_poolformer_full_backbone_matches_torch(rng):
+    """Full wiring: stem + stage embeds + blocks + per-tap GN norms."""
+    m = build_module_from_cfg(
+        dict(type="PoolFormer", depths=(1, 1, 1, 1), dims=(8, 16, 24, 32)),
+        BACKBONE)
+    x = rng.randn(1, 32, 32, 3).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = randomize(variables, seed=212)
+    outs = m.apply(variables, jnp.asarray(x), mutable=False)
+    p = variables["params"]
+    h = _t(x.transpose(0, 3, 1, 2))
+    refs = []
+    for i, dim in enumerate((8, 16, 24, 32)):
+        if i == 0:
+            h = tconv(h, P(p, "patch_embed0/weight"), stride=4, padding=2,
+                      bias=np.asarray(P(p, "patch_embed0/bias")))
+        else:
+            h = tconv(h, P(p, f"patch_embed{i}/weight"), stride=2,
+                      padding=1, bias=np.asarray(P(p, f"patch_embed{i}/bias")))
+        h = t_poolformer_block(p[f"stage{i}_block0"], h, dim)
+        refs.append(_tgn(h, p, f"norm{i}"))
+    for got, want in zip(outs, refs):
+        assert_feature_parity(got, want)
+
+
 def test_poolformer_backbone_contract(rng):
     m = build_module_from_cfg(
         dict(type="PoolFormer", depths=(1, 1, 2, 1), dims=(8, 16, 24, 32)),
