@@ -59,6 +59,59 @@ def test_kernel_updator_matches_torch(rng):
                                rtol=2e-3, atol=2e-4)
 
 
+def t_update_head(p, x, kernels, masks, heads):
+    """Full KernelUpdateHead stage twin: hard-gated pooling → updator →
+    kernel MHSA → FFN → mask fcs → dynamic 1x1 conv."""
+    import math
+    N, C, H, W = x.shape
+    K = kernels.shape[1]
+    sig = torch.sigmoid(masks)                        # (N, K, H, W)
+    sig = sig * (sig > 0.5)
+    x_feat = torch.einsum("nkhw,nchw->nkc", sig, x)
+    obj = t_kernel_updator(p["kernel_update_conv"], x_feat, kernels, C)
+
+    qkv = _tlin(obj, p["attention"], "qkv")
+    d = C // heads
+    q, k, v = [t.reshape(N, K, heads, d).permute(0, 2, 1, 3)
+               for t in qkv.chunk(3, dim=-1)]
+    attn = ((q @ k.transpose(-2, -1)) / math.sqrt(d)).softmax(-1)
+    y = (attn @ v).permute(0, 2, 1, 3).reshape(N, K, C)
+    y = _tlin(y, p["attention"], "proj")
+    obj = _tln(obj + y, p, "attention_norm")
+    y = _tlin(TF.gelu(_tlin(obj, p, "ffn_fc1")), p, "ffn_fc2")
+    obj = _tln(obj + y, p, "ffn_norm")
+
+    mask_feat = TF.relu(_tln(_tlin(obj, p, "mask_fc0", bias=False), p,
+                             "mask_norm0"))
+    new_kernels = _tlin(mask_feat, p, "fc_mask")
+    new_masks = torch.einsum("nchw,nkc->nkhw", x, new_kernels)
+    return new_masks, new_kernels
+
+
+def test_update_head_full_stage_matches_torch(rng):
+    C, K, heads = 16, 3, 2
+    m = KernelUpdateHead(num_classes=K, in_channels=C, num_heads=heads,
+                         feedforward_channels=32)
+    x = rng.randn(2, 6, 6, C).astype(np.float32)
+    kernels = rng.randn(2, K, C).astype(np.float32)
+    masks = rng.randn(2, 6, 6, K).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(kernels), jnp.asarray(masks))
+    variables = randomize(variables, seed=232)
+    new_masks, new_kernels = m.apply(variables, jnp.asarray(x),
+                                     jnp.asarray(kernels),
+                                     jnp.asarray(masks), mutable=False)
+    ref_masks, ref_kernels = t_update_head(
+        variables["params"], torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(kernels),
+        torch.from_numpy(masks.transpose(0, 3, 1, 2)), heads)
+    np.testing.assert_allclose(np.asarray(new_kernels),
+                               ref_kernels.numpy(), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(new_masks).transpose(0, 3, 1, 2),   # NHWK → NKHW
+        ref_masks.numpy(), rtol=2e-3, atol=2e-4)
+
+
 def test_update_head_hard_gates_mask_pooling(rng):
     """Pixels with sigmoid(mask) <= 0.5 must not contribute to the
     group feature: flipping their feature values leaves outputs
