@@ -121,6 +121,54 @@ def test_mask2former_decoder_layer_matches_torch(rng):
                                rtol=2e-3, atol=2e-4)
 
 
+def test_maskformer_detr_layer_matches_torch(rng):
+    """Torch twin of the original (self-attention-first, unmasked) DETR
+    decoder layer used by MaskFormerHead."""
+    import torch
+    import torch.nn.functional as TF
+    from test_zoo_torch_parity import P as getp, randomize
+    from image_segmentation_lab_tpu.models.decode_heads.maskformer_head \
+        import DETRDecoderLayer
+
+    torch.set_grad_enabled(False)
+    C, heads, Q, L = 16, 2, 5, 12
+    m = DETRDecoderLayer(C, heads, 32)
+    x = rng.randn(2, Q, C).astype(np.float32)
+    mem = rng.randn(2, L, C).astype(np.float32)
+    qpos = rng.randn(1, Q, C).astype(np.float32)
+    mpos = rng.randn(1, L, C).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                       jnp.asarray(mem), jnp.asarray(qpos),
+                       jnp.asarray(mpos))
+    variables = randomize(variables, seed=242)
+    out = m.apply(variables, jnp.asarray(x), jnp.asarray(mem),
+                  jnp.asarray(qpos), jnp.asarray(mpos), mutable=False)
+    p = variables["params"]
+
+    def ln(x, path):
+        w = torch.from_numpy(np.asarray(getp(p, path + "/weight")))
+        b = torch.from_numpy(np.asarray(getp(p, path + "/bias")))
+        return TF.layer_norm(x, w.shape, w, b, eps=1e-5)
+
+    def lin(x, path):
+        w = torch.from_numpy(np.asarray(getp(p, path + "/weight")))
+        b = torch.from_numpy(np.asarray(getp(p, path + "/bias")))
+        return TF.linear(x, w.t(), b)
+
+    tx = torch.from_numpy(x)
+    tmem = torch.from_numpy(mem)
+    tqp = torch.from_numpy(qpos)
+    tmp = torch.from_numpy(mpos)
+    y = t_cross_attn(p["self_attn"], tx + tqp, tx + tqp, tx, heads)
+    tx = ln(tx + y, "norm1")
+    y = t_cross_attn(p["cross_attn"], tx + tqp, tmem + tmp, tmem, heads)
+    tx = ln(tx + y, "norm2")
+    y = lin(TF.relu(lin(tx, "ffn_fc1")), "ffn_fc2")
+    want = ln(tx + y, "norm3")
+    np.testing.assert_allclose(np.asarray(out), want.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
 def _tiny_cfg():
     norm = dict(type="BN")
     return dict(
