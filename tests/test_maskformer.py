@@ -123,6 +123,47 @@ def test_sine_positional_encoding_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_pixel_decoder_matches_torch(rng):
+    """FPN top-down pixel decoder: GN laterals + output convs + final
+    3x3 mask-feature conv, torch twin."""
+    import torch.nn.functional as TF
+    from test_zoo_torch_parity import P, _t, randomize, tconv, \
+        assert_feature_parity
+    from image_segmentation_lab_tpu.models.decode_heads.maskformer_head \
+        import PixelDecoder
+
+    def tgn(x, p, path, groups):
+        w = torch.from_numpy(np.asarray(P(p, path + "/weight")))
+        b = torch.from_numpy(np.asarray(P(p, path + "/bias")))
+        return TF.group_norm(x, groups, w, b, eps=1e-5)
+
+    G = 4
+    m = PixelDecoder((8, 16, 24), 8, 12,
+                     norm_cfg=dict(type="GN", num_groups=G))
+    xs = [rng.randn(1, 16, 16, 8).astype(np.float32),
+          rng.randn(1, 8, 8, 16).astype(np.float32),
+          rng.randn(1, 4, 4, 24).astype(np.float32)]
+    jxs = [jnp.asarray(x) for x in xs]
+    variables = m.init(jax.random.PRNGKey(0), jxs)
+    variables = randomize(variables, seed=243)
+    mask_feat, memory = m.apply(variables, jxs, mutable=False)
+    p = variables["params"]
+    txs = [_t(x.transpose(0, 3, 1, 2)) for x in xs]
+    y = TF.relu(tgn(tconv(txs[-1], P(p, "last_feat_conv/conv/weight"),
+                          padding=1), p, "last_feat_conv/gn", G))
+    for i in (1, 0):
+        lat = tgn(tconv(txs[i], P(p, f"lateral{i}/conv/weight")),
+                  p, f"lateral{i}/gn", G)
+        y = lat + TF.interpolate(y, size=lat.shape[2:], mode="bilinear",
+                                 align_corners=False)
+        y = TF.relu(tgn(tconv(y, P(p, f"output{i}/conv/weight"),
+                              padding=1), p, f"output{i}/gn", G))
+    want = tconv(y, P(p, "mask_feature/weight"), padding=1,
+                 bias=np.asarray(P(p, "mask_feature/bias")))
+    assert_feature_parity(mask_feat, want)
+    np.testing.assert_array_equal(np.asarray(memory), xs[-1])
+
+
 # --------------------------------------------------------------- network
 
 def _tiny_cfg(num_classes=3):
