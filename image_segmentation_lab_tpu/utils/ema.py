@@ -6,10 +6,10 @@ step, maintained as one jitted tree_map — the update dispatches
 asynchronously with the step, so the wall-clock cost is noise.
 Validation and best-checkpoint selection then run on the smoothed
 weights (the standard EMA deployment recipe), while ``last.pth`` keeps
-the raw weights so resume semantics are unchanged.  On resume the EMA
-restarts from the restored parameters (EMA state is intentionally not
-checkpointed — documented trade-off, it re-converges within ~1/(1-d)
-steps).
+the raw weights so resume semantics are unchanged.  The EMA tree is
+checkpointed alongside the optimizer state (``train_state['ema_params']``
+in ``last.pth``) and re-seeded on resume via ``ema_init``, so the
+average continues across restarts instead of re-converging.
 """
 
 from __future__ import annotations
@@ -25,9 +25,14 @@ def _lerp(ema, params, decay):
         ema, params)
 
 
-def wrap_train_step_with_ema(train_step, init_params, decay: float):
+def wrap_train_step_with_ema(train_step, init_params, decay: float,
+                             ema_init=None):
     """Wrap a ``(state, img, gt, rng) -> (state, log_vars)`` step so an
     EMA of ``state.params`` is maintained alongside.
+
+    ``ema_init`` (a params-shaped tree, e.g. the checkpointed
+    ``train_state['ema_params']``) seeds the average; by default it
+    starts from ``init_params``.
 
     Returns ``(wrapped_step, ema_params_fn)`` — call ``ema_params_fn()``
     for the current smoothed tree (device arrays, same sharding as the
@@ -36,8 +41,9 @@ def wrap_train_step_with_ema(train_step, init_params, decay: float):
     assert 0.0 < decay < 1.0, decay
     # the train step DONATES its state buffers — the EMA must own fresh
     # arrays, never references into the live (soon-deleted) params
-    box = {"ema": jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))(
-        init_params)}
+    seed = init_params if ema_init is None else ema_init
+    box = {"ema": jax.jit(lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.copy(jnp.asarray(x)), t))(seed)}
 
     def wrapped(state, img, gt, rng):
         state, log_vars = train_step(state, img, gt, rng)

@@ -140,13 +140,17 @@ def pth_metadata(metadata: Dict[str, Any],
 
 def save_model(state, metadata: Dict[str, Any], path,
                include_train_state: bool = False,
-               backend: str = "pickle") -> None:
+               backend: str = "pickle", ema_params=None) -> None:
     """``{'metadata', 'state_dict'}`` checkpoint (reference
     train_utils.py:160-165) with optional optimizer state for resume.
+    ``ema_params`` (the smoothed tree when --ema-decay is on) rides the
+    ``train_state`` blob so resume continues the average.
     ``backend='orbax_async'`` overlaps the write with the next epoch."""
     train_state = None
     if include_train_state:
         train_state = dict(step=np.asarray(jax.device_get(state.step)),
                            opt_state=jax.device_get(state.opt_state))
+        if ema_params is not None:
+            train_state["ema_params"] = jax.device_get(ema_params)
     save_checkpoint(state.variables(), path, metadata=metadata,
                     train_state=train_state, backend=backend)

@@ -214,6 +214,7 @@ def main():
             dump_init_info(logger=lambda line: f.write(line + "\n"))
     resume_path = args.resume_from
     prior_best_pth = None
+    resume_ema = None
     if args.auto_resume and resume_path is None:
         # each invocation allocates a fresh exp dir, so auto-resume looks
         # for the newest prior run of the same name with a last.pth
@@ -246,6 +247,7 @@ def main():
         if ts is not None:  # pickled pytree keeps the optax state structure
             state = state.replace(step=jnp.asarray(int(ts["step"])),
                                   opt_state=ts["opt_state"])
+            resume_ema = ts.get("ema_params")  # continue the average
         start_epoch = int(ckpt.get("metadata", {}).get("epoch", -1)) + 1
         print(f"resumed from {resume_path} at epoch {start_epoch}")
 
@@ -335,8 +337,9 @@ def main():
         from image_segmentation_lab_tpu.utils.ema import \
             wrap_train_step_with_ema
         train_step, ema_params_fn = wrap_train_step_with_ema(
-            train_step, state.params, args.ema_decay)
-        print(f"EMA enabled (decay={args.ema_decay})")
+            train_step, state.params, args.ema_decay, ema_init=resume_ema)
+        print(f"EMA enabled (decay={args.ema_decay})"
+              + (" — resumed EMA state" if resume_ema is not None else ""))
     # rescale eval logits to the uniform original size ONLY when the dataset
     # supplies original-resolution ground truth — otherwise metrics compare
     # at pipeline resolution against pipeline labels
@@ -435,7 +438,8 @@ def main():
         meta = pth_metadata(metadata, epoch, fits, train_vars, val_vars,
                             val_metrics)
         save_model(state, meta, last_pth, include_train_state=True,
-                   backend=args.ckpt_backend)
+                   backend=args.ckpt_backend,
+                   ema_params=ema_params_fn() if ema_params_fn else None)
         if fits < best_fits:
             best_fits = fits
             save_model(eval_state, meta, best_pth, include_train_state=True,
