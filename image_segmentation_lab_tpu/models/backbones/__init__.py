@@ -1,4 +1,5 @@
 from .beit import BEiT, BEiTAttention, BEiTBlock
+from .mae import MAE
 from .bisenetv1 import BiSeNetV1
 from .bisenetv2 import BiSeNetV2
 from .cgnet import CGNet, ContextGuidedBlock, GlobalContextExtractor

@@ -82,6 +82,17 @@ def relative_position_index(gh: int, gw: int) -> np.ndarray:
     return index
 
 
+def _rescaled(init, rescale: float):
+    """Initializer divided by ``rescale`` (MAE's fix_init_weight: block
+    i's residual-branch outputs start at 1/sqrt(2(i+1)) scale)."""
+    if rescale == 1.0:
+        return init
+
+    def scaled(key, shape, dtype=jnp.float32):
+        return init(key, shape, dtype) / rescale
+    return scaled
+
+
 class BEiTAttention(nn.Module):
     """MHSA with q/v-only bias and the relative position bias table."""
 
@@ -89,6 +100,7 @@ class BEiTAttention(nn.Module):
     num_heads: int
     pretrain_grid: int            # side of the grid the table is stored at
     qv_bias: bool = True
+    init_rescale: float = 1.0     # divides proj's init (MAE fix_init_weight)
     trainable: bool = True
 
     @nn.compact
@@ -135,7 +147,8 @@ class BEiTAttention(nn.Module):
         scores = scores * (1.0 / math.sqrt(d)) + rel_bias[None]
         attn = nn.softmax(scores, axis=-1)
         out = jnp.einsum("nhls,nshd->nlhd", attn.astype(v.dtype), v)
-        return Linear(C, C, trainable=self.trainable, weight_init=_W_INIT,
+        return Linear(C, C, trainable=self.trainable,
+                      weight_init=_rescaled(_W_INIT, self.init_rescale),
                       bias_init=_ZEROS, name="proj")(out.reshape(N, L1, C))
 
 
@@ -149,6 +162,7 @@ class BEiTBlock(nn.Module):
     qv_bias: bool = True
     drop_path_rate: float = 0.0
     layer_scale_init_value: float = 0.1
+    init_rescale: float = 1.0     # divides attn-proj + fc2 init (MAE)
     trainable: bool = True
 
     @nn.compact
@@ -162,7 +176,9 @@ class BEiTBlock(nn.Module):
                           self.trainable)
         y = LayerNorm(C, trainable=self.trainable, name="norm1")(x)
         y = BEiTAttention(C, self.num_heads, self.pretrain_grid,
-                          qv_bias=self.qv_bias, trainable=self.trainable,
+                          qv_bias=self.qv_bias,
+                          init_rescale=self.init_rescale,
+                          trainable=self.trainable,
                           name="attn")(y, train=train)
         x = x + DropPath(self.drop_path_rate, name="drop_path1")(
             g1 * y, train=train)
@@ -171,7 +187,8 @@ class BEiTBlock(nn.Module):
                    weight_init=_W_INIT, bias_init=_ZEROS, name="fc1")(y)
         y = nn.gelu(y, approximate=False)
         y = Linear(self.mlp_ratio * C, C, trainable=self.trainable,
-                   weight_init=_W_INIT, bias_init=_ZEROS, name="fc2")(y)
+                   weight_init=_rescaled(_W_INIT, self.init_rescale),
+                   bias_init=_ZEROS, name="fc2")(y)
         return x + DropPath(self.drop_path_rate, name="drop_path2")(
             g2 * y, train=train)
 
