@@ -119,3 +119,53 @@ def test_fused_aug_train_step_matches_external_aug():
                                rtol=1e-6)
     from helpers import assert_trees_equal
     assert_trees_equal(s1.params, s2.params, rtol=1e-5, atol=1e-6)
+
+
+def test_multilevel_neck_matches_torch():
+    """MultiLevelNeck (mmseg MLN): 1x1 lateral -> bilinear rescale
+    (align_corners=False, scale used directly in the coordinate map) ->
+    3x3 refine, golden against a torch-functional twin."""
+    import torch
+    import torch.nn.functional as TF
+
+    from image_segmentation_lab_tpu.models.necks import MultiLevelNeck
+    from test_zoo_torch_parity import P, randomize, tconv
+
+    rs = np.random.RandomState(11)
+    scales = [4, 2, 1, 0.5]
+    m = MultiLevelNeck(in_channels=[6, 6, 6, 6], out_channels=8,
+                       scales=scales)
+    xs = [rs.randn(2, 5, 7, 6).astype(np.float32) for _ in range(4)]
+    variables = m.init(jax.random.PRNGKey(0), [jnp.asarray(x) for x in xs])
+    variables = randomize(variables, seed=12)
+    outs = m.apply(variables, [jnp.asarray(x) for x in xs], mutable=False)
+
+    p = variables["params"]
+    with torch.no_grad():
+        for i, (x, s, got) in enumerate(zip(xs, scales, outs)):
+            t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+            t = tconv(t, P(p, f"lateral_convs_{i}/conv/weight"),
+                      bias=np.asarray(P(p, f"lateral_convs_{i}/conv/bias")))
+            if s != 1:
+                t = TF.interpolate(t, scale_factor=s, mode="bilinear",
+                                   align_corners=False)
+            t = tconv(t, P(p, f"convs_{i}/conv/weight"), padding=1,
+                      bias=np.asarray(P(p, f"convs_{i}/conv/bias")))
+            assert got.shape[1:3] == tuple(t.shape[2:]), (i, got.shape,
+                                                          t.shape)
+            np.testing.assert_allclose(
+                np.asarray(got).transpose(0, 3, 1, 2), t.numpy(),
+                rtol=2e-3, atol=2e-4)
+
+
+def test_multilevel_neck_single_tap_broadcast():
+    """One input tap is broadcast across every scale (upstream
+    single-output-backbone mode)."""
+    from image_segmentation_lab_tpu.models.necks import MultiLevelNeck
+
+    m = MultiLevelNeck(in_channels=[4], out_channels=4,
+                       scales=[2, 1, 0.5])
+    x = [jnp.ones((1, 8, 8, 4), jnp.float32)]
+    variables = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x, mutable=False)
+    assert [o.shape[1] for o in outs] == [16, 8, 4]
