@@ -13,6 +13,9 @@ model = dict(
                      channels=256, feat_channels=256,
                      num_queries=100, num_decoder_layers=9, num_heads=8,
                      num_scales=3, feedforward_channels=2048,
+                     cls_weight=2.0, mask_weight=5.0, dice_weight=5.0,
+                     mask_loss_type='ce', num_points=12544,
+                     oversample_ratio=3.0, importance_sample_ratio=0.75,
                      dropout_ratio=0.0, num_classes=2,
                      align_corners=False),
     train_cfg=dict(), test_cfg=dict(mode='whole'))

@@ -24,9 +24,15 @@ combination.  Pieces, all static-shape jnp:
   is matched per image by the ON-DEVICE auction algorithm
   (`ops/matching.py`), vmapped over the batch, inside the jitted step
   — no host callback (torch stacks run scipy on host here).  Losses:
-  CE over all queries (no-object class weight 0.1), sigmoid focal +
-  dice on matched masks, deep supervision over every decoder layer
-  (``d{i}.``-prefixed keys).
+  CE over all queries (no-object class weight 0.1), sigmoid focal (or
+  plain BCE, ``mask_loss_type='ce'`` — Mask2Former's form) + dice on
+  matched masks, deep supervision over every decoder layer
+  (``d{i}.``-prefixed keys).  With ``num_points > 0`` the mask losses
+  run the upstream point-sampled arrangement: matching costs on shared
+  uniform points, per-pair importance-sampled loss points
+  (oversample → keep the most boundary-uncertain → fill uniformly;
+  one batched 4-corner gather per sampling, `ops/point_sample.py`),
+  targets read from full-resolution gt.
 
 Eval: semantic probabilities ``p = softmax(cls)[..., :-1] ·
 sigmoid(masks)``; the head returns ``log(p + eps)`` so the segmentor's
@@ -46,6 +52,7 @@ from flax import linen as nn
 from ...core.registry_hub import DECODEHEAD
 from ...core.initialize.init_functions import constant_, trunc_normal_
 from ...ops.matching import auction_assignment
+from ...ops.point_sample import point_sample
 from ...utils.ops import resize
 from ..basic.convolution import Conv2d, Linear
 from ..basic.normalization import LayerNorm
@@ -203,6 +210,27 @@ def _dice_cost(mask_logits, gt_masks, eps=1e-3):
     return 1 - (inter + eps) / (denom + eps)
 
 
+def _bce_cost(mask_logits, gt_masks):
+    """(T, Q) pair cost: per-point binary CE averaged over points
+    (mmdet CrossEntropyLossCost with binary_input=True — Mask2Former's
+    mask matching cost; MaskFormer uses the focal variant above)."""
+    x = mask_logits.astype(jnp.float32)                         # (Q, P)
+    pos = jax.nn.softplus(-x)       # -log sigmoid(x)
+    neg = jax.nn.softplus(x)        # -log(1 - sigmoid(x))
+    g = gt_masks.astype(jnp.float32)                            # (T, P)
+    cost = jnp.einsum("qp,tp->tq", pos, g) + jnp.einsum(
+        "qp,tp->tq", neg, 1 - g)
+    return cost / mask_logits.shape[-1]
+
+
+def _sample_rows(maps, pts):
+    """Bilinear-sample row r of ``maps`` (R, h, w) at its own points
+    ``pts[r]`` ((R, P, 2), normalized xy) → (R, P)."""
+    return jax.vmap(
+        lambda m, p: point_sample(m[None, :, :, None], p[None])[0, :, 0]
+    )(maps, pts)
+
+
 @DECODEHEAD.register()
 class MaskFormerHead(BaseDecodeHead):
     """in_channels: backbone pyramid widths; channels: embed width."""
@@ -219,6 +247,19 @@ class MaskFormerHead(BaseDecodeHead):
     no_object_weight: float = 0.1
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
+    # mask-loss form: 'focal' (MaskFormer) or 'ce' (Mask2Former's plain
+    # sigmoid BCE) — applied to BOTH the pair cost and the loss
+    mask_loss_type: str = "focal"
+    # >0 enables upstream Mask2Former's point-sampled mask losses:
+    # matching costs on num_points shared uniform points, mask/dice
+    # losses on per-pair importance-sampled points (oversample by
+    # oversample_ratio, keep the importance_sample_ratio most uncertain,
+    # fill the rest uniformly).  0 keeps the exact dense losses.  The
+    # point path also samples targets from the FULL-resolution gt
+    # (no 0.5-threshold downsampling), matching upstream semantics.
+    num_points: int = 0
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
 
     def setup(self):
         assert self.input_transform == "multiple_select", \
@@ -373,22 +414,41 @@ class MaskFormerHead(BaseDecodeHead):
         return query_id, labels, keep
 
     # ------------------------------------------------------------- losses
-    def _layer_loss(self, cls_scores, mask_preds, gt_masks, valid):
+    def _layer_loss(self, cls_scores, mask_preds, gt_masks, valid,
+                    key=None):
         """Single-image loss; vmapped over the batch.
 
-        cls_scores (Q, K+1); mask_preds (Q, h, w); gt_masks (K, h, w)
-        binary per-class maps; valid (K,) presence."""
+        cls_scores (Q, K+1); mask_preds (Q, h, w); gt_masks (K, H, W)
+        binary per-class maps (any resolution — the dense path needs it
+        to equal the mask resolution; the point path samples it in
+        normalized coords); valid (K,) presence; key enables the
+        point-sampled path when num_points > 0."""
         K = self.num_classes
         Q = self.num_queries
-        P = mask_preds.shape[-2] * mask_preds.shape[-1]
-        mp = mask_preds.reshape(Q, P)
-        gm = gt_masks.reshape(K, P)
+        sampled = self.num_points > 0 and key is not None
+        if sampled:
+            k_match, k_os, k_rand = jax.random.split(key, 3)
+            Pn = self.num_points
+            # matching costs on Pn shared uniform points (upstream
+            # matcher; gt sampled bilinearly → soft targets in [0, 1])
+            pts = jax.random.uniform(k_match, (1, Pn, 2), jnp.float32)
+            mp = point_sample(
+                jnp.transpose(mask_preds, (1, 2, 0))[None], pts)[0].T
+            gm = point_sample(
+                jnp.transpose(gt_masks.astype(jnp.float32),
+                              (1, 2, 0))[None], pts)[0].T
+        else:
+            P = mask_preds.shape[-2] * mask_preds.shape[-1]
+            mp = mask_preds.reshape(Q, P)
+            gm = gt_masks.reshape(K, P)
 
+        mask_cost = (_bce_cost(mp, gm) if self.mask_loss_type == "ce"
+                     else _focal_cost(mp, gm, self.focal_alpha,
+                                      self.focal_gamma))
         probs = jax.nn.softmax(cls_scores.astype(jnp.float32), axis=-1)
         cls_cost = -probs[:, :K].T                            # (K, Q)
         cost = (self.cls_weight * cls_cost
-                + self.mask_weight * _focal_cost(mp, gm, self.focal_alpha,
-                                                 self.focal_gamma)
+                + self.mask_weight * mask_cost
                 + self.dice_weight * _dice_cost(mp, gm))
         cost = jax.lax.stop_gradient(cost)
         col, _ = auction_assignment(cost, valid_rows=valid)
@@ -411,17 +471,41 @@ class MaskFormerHead(BaseDecodeHead):
         ce = ce * cw[labels]
         loss_cls = ce.sum() / jnp.maximum(cw[labels].sum(), 1.0)
 
-        # masks: focal + dice on matched pairs only
-        sel = mp[col]                                         # (K, P)
-        g = gm.astype(jnp.float32)
-        p = jax.nn.sigmoid(sel.astype(jnp.float32))
-        focal = (-g * jnp.log(p + 1e-12) * self.focal_alpha
-                 * (1 - p) ** self.focal_gamma
-                 - (1 - g) * jnp.log(1 - p + 1e-12)
-                 * (1 - self.focal_alpha) * p ** self.focal_gamma)
+        # masks: focal/bce + dice on matched pairs only
+        if sampled:
+            # per-pair importance sampling (upstream
+            # get_uncertain_point_coords_with_randomness): oversample,
+            # keep the points nearest the decision boundary, fill the
+            # rest uniformly; targets sampled from the full-res gt
+            sel_maps = mask_preds[col]                        # (K, h, w)
+            n_os = int(Pn * self.oversample_ratio)
+            n_imp = int(Pn * self.importance_sample_ratio)
+            os_pts = jax.random.uniform(k_os, (K, n_os, 2), jnp.float32)
+            unc = -jnp.abs(jax.lax.stop_gradient(
+                _sample_rows(sel_maps, os_pts)))
+            _, top = jax.lax.top_k(unc, n_imp)                # (K, n_imp)
+            imp_pts = jnp.take_along_axis(os_pts, top[..., None], axis=1)
+            rand_pts = jax.random.uniform(k_rand, (K, Pn - n_imp, 2),
+                                          jnp.float32)
+            pts_l = jnp.concatenate([imp_pts, rand_pts], axis=1)
+            sel = _sample_rows(sel_maps, pts_l)               # (K, Pn)
+            g = _sample_rows(gt_masks.astype(jnp.float32), pts_l)
+        else:
+            sel = mp[col]                                     # (K, P)
+            g = gm.astype(jnp.float32)
+        sl32 = sel.astype(jnp.float32)
+        p = jax.nn.sigmoid(sl32)
+        if self.mask_loss_type == "ce":
+            per_pt = (g * jax.nn.softplus(-sl32)
+                      + (1 - g) * jax.nn.softplus(sl32))
+        else:
+            per_pt = (-g * jnp.log(p + 1e-12) * self.focal_alpha
+                      * (1 - p) ** self.focal_gamma
+                      - (1 - g) * jnp.log(1 - p + 1e-12)
+                      * (1 - self.focal_alpha) * p ** self.focal_gamma)
         vf = matched.astype(jnp.float32)
         n_masks = jnp.maximum(vf.sum(), 1.0)
-        loss_mask = (focal.mean(-1) * vf).sum() / n_masks
+        loss_mask = (per_pt.mean(-1) * vf).sum() / n_masks
         inter = 2 * (p * g).sum(-1)
         dice = 1 - (inter + 1e-3) / (p.sum(-1) + g.sum(-1) + 1e-3)
         loss_dice = (dice * vf).sum() / n_masks
@@ -437,19 +521,32 @@ class MaskFormerHead(BaseDecodeHead):
         valid_px = label != self.ignore_index
         safe = jnp.where(valid_px, label, 0)
         onehot = jax.nn.one_hot(safe, K, axis=-1) * valid_px[..., None]
-        # segment targets at the mask resolution (area-preserving mean
-        # then 0.5 threshold)
-        h, w = all_masks[-1].shape[-2:]
-        gt_small = resize(onehot, size=(h, w), mode="bilinear",
-                          align_corners=False) > 0.5
-        gt_small = jnp.transpose(gt_small, (0, 3, 1, 2))      # (N, K, h, w)
         valid = onehot.sum(axis=(1, 2)) > 0                   # (N, K)
+        sampling = self.num_points > 0 and self.has_rng("dropout")
+        if sampling:
+            # point path: losses sample the FULL-res targets in
+            # normalized coords — no downsampling approximation
+            gt_for_loss = jnp.transpose(onehot, (0, 3, 1, 2))  # (N,K,H,W)
+            base_key = self.make_rng("dropout")
+        else:
+            # dense path: segment targets at the mask resolution
+            # (area-preserving mean then 0.5 threshold)
+            h, w = all_masks[-1].shape[-2:]
+            gt_small = resize(onehot, size=(h, w), mode="bilinear",
+                              align_corners=False) > 0.5
+            gt_for_loss = jnp.transpose(gt_small, (0, 3, 1, 2))
 
         loss = dict()
         final = None
+        N = label.shape[0]
         for li, (cls_s, mask_p) in enumerate(zip(all_cls, all_masks)):
-            lc, lm, ld = jax.vmap(self._layer_loss)(cls_s, mask_p,
-                                                    gt_small, valid)
+            if sampling:  # fresh points per layer and per image
+                keys = jax.random.split(jax.random.fold_in(base_key, li), N)
+                lc, lm, ld = jax.vmap(self._layer_loss)(
+                    cls_s, mask_p, gt_for_loss, valid, keys)
+            else:
+                lc, lm, ld = jax.vmap(self._layer_loss)(cls_s, mask_p,
+                                                        gt_for_loss, valid)
             tag = "" if li == len(all_cls) - 1 else f"d{li}."
             loss[f"{tag}loss_cls"] = lc.mean()
             loss[f"{tag}loss_mask"] = lm.mean()
