@@ -18,6 +18,7 @@ from .poolformer import PoolFormer, PoolFormerBlock
 from .res2net import Bottle2neck, Res2Net
 from .resnest import ResNeSt, SplAtBottleneck, SplitAttentionConv2d
 from .resnet import ResNet, ResNetV1c, ResNetV1d
+from .resnext import ResNeXt
 from .stdc import STDCContextPathNet, STDCModule, STDCNet
 from .swin import SwinTransformer
 from .twins import PCPVT, SVT, LocallyGroupedSelfAttention

@@ -111,6 +111,11 @@ class Bottleneck(nn.Module):
 
     ``style='pytorch'`` puts the stride on the 3x3 conv; ``'caffe'`` on the
     first 1x1.  Plugin hooks after conv1/2/3 are honored via PLUGINS.
+
+    ``groups``/``base_width`` widen conv1/conv2 to the ResNeXt aggregated-
+    transform width ``floor(planes * base_width / base_channels) * groups``
+    and run conv2 grouped — exactly where mmseg's ResNeXt Bottleneck
+    overrides this block; ``groups=1`` (default) keeps plain-ResNet widths.
     """
 
     expansion = 4
@@ -127,24 +132,33 @@ class Bottleneck(nn.Module):
     trainable: bool = True
     norm_force_eval: bool = False
     zero_init_residual: bool = False
+    groups: int = 1
+    base_width: int = 4
+    base_channels: int = 64
 
     def setup(self):
         assert self.style in ("pytorch", "caffe")
         ncfg = _norm_cfg(self.norm_cfg, self.trainable, self.norm_force_eval)
         conv1_stride = 1 if self.style == "pytorch" else self.stride
         conv2_stride = self.stride if self.style == "pytorch" else 1
+        if self.groups == 1:
+            width = self.planes
+        else:
+            width = (self.planes * self.base_width
+                     // self.base_channels) * self.groups
 
         self.conv1 = build_conv_layer(
-            self.conv_cfg, self.inplanes, self.planes, 1, stride=conv1_stride,
+            self.conv_cfg, self.inplanes, width, 1, stride=conv1_stride,
             bias=False, trainable=self.trainable, weight_init=_KAIMING)
-        self.bn1 = build_norm_layer(ncfg, self.planes, postfix=1)[1]
+        self.bn1 = build_norm_layer(ncfg, width, postfix=1)[1]
         self.conv2 = build_conv_layer(
-            self.conv_cfg, self.planes, self.planes, 3, stride=conv2_stride,
-            padding=self.dilation, dilation=self.dilation, bias=False,
+            self.conv_cfg, width, width, 3, stride=conv2_stride,
+            padding=self.dilation, dilation=self.dilation,
+            groups=self.groups, bias=False,
             trainable=self.trainable, weight_init=_KAIMING)
-        self.bn2 = build_norm_layer(ncfg, self.planes, postfix=2)[1]
+        self.bn2 = build_norm_layer(ncfg, width, postfix=2)[1]
         self.conv3 = build_conv_layer(
-            self.conv_cfg, self.planes, self.planes * self.expansion, 1,
+            self.conv_cfg, width, self.planes * self.expansion, 1,
             bias=False, trainable=self.trainable, weight_init=_KAIMING)
         ncfg3 = dict(ncfg)
         if self.zero_init_residual:
@@ -155,8 +169,8 @@ class Bottleneck(nn.Module):
         if self.plugins:
             allowed = {"after_conv1", "after_conv2", "after_conv3"}
             assert all(p["position"] in allowed for p in self.plugins)
-            for pos, ch in (("after_conv1", self.planes),
-                            ("after_conv2", self.planes),
+            for pos, ch in (("after_conv1", width),
+                            ("after_conv2", width),
                             ("after_conv3", self.planes * self.expansion)):
                 mods = [build_plugin_layer(p["cfg"], in_channels=ch)[1]
                         for p in self.plugins if p["position"] == pos]

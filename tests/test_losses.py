@@ -231,3 +231,144 @@ def test_focal_loss_reduction_and_loss_name():
         v, 2.0 * 8 * np.log(2) * 0.5 * 0.25, rtol=1e-5)
     with pytest.raises(AssertionError):
         FocalLoss(use_sigmoid=False)
+
+
+# ---------------------------------------------------------------------------
+# KLDivLoss (temperature-scaled distillation KL, mmseg semantics)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("temperature,reduction", [
+    (1.0, "mean"), (4.0, "mean"), (2.0, "sum"), (1.0, "none"),
+])
+def test_kldiv_loss_matches_torch(rng, temperature, reduction):
+    from image_segmentation_lab_tpu.models.losses import KLDivLoss
+    pred = _rand(rng, 2, 4, 4, 3)
+    tgt = _rand(rng, 2, 4, 4, 3)
+    out = KLDivLoss(temperature=temperature, reduction=reduction)(
+        jnp.asarray(pred), jnp.asarray(tgt))
+    tp = torch.tensor(pred) / temperature
+    tt = torch.tensor(tgt) / temperature
+    ref = TF.kl_div(TF.log_softmax(tp, dim=-1), TF.softmax(tt, dim=-1),
+                    reduction="none") * temperature ** 2
+    if reduction == "none":
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+    else:
+        flat = ref.reshape(2, -1)
+        red = flat.mean(1) if reduction == "mean" else flat.sum(1)
+        np.testing.assert_allclose(np.asarray(out), red.numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_kldiv_loss_weight_and_name():
+    from image_segmentation_lab_tpu.models.losses import KLDivLoss
+    kl = KLDivLoss(loss_weight=3.0, loss_name="loss_distill")
+    assert kl.loss_name == "loss_distill"
+    x = jnp.zeros((1, 2, 2, 4))
+    # identical logits -> zero divergence regardless of weight
+    np.testing.assert_allclose(np.asarray(kl(x, x)), 0.0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# SiLogLoss (scale-invariant log loss, mmseg depth semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_silog_loss_matches_torch_derivation(rng):
+    from image_segmentation_lab_tpu.models.losses import SiLogLoss
+    pred = np.abs(_rand(rng, 2, 6, 6)) + 0.1
+    tgt = np.abs(_rand(rng, 2, 6, 6)) + 0.1
+    tgt[0, :2] = 0.0  # invalid depth pixels get masked
+    out = SiLogLoss()(jnp.asarray(pred), jnp.asarray(tgt))
+
+    eps, lambd = 1e-4, 0.5
+    p, t = torch.tensor(pred).reshape(2, -1), torch.tensor(tgt).reshape(2, -1)
+    valid = (t > eps) & (p > eps)
+    d = torch.where(valid, t.clamp(min=eps).log() - p.clamp(min=eps).log(),
+                    torch.zeros(()))
+    cnt = valid.float().sum(1).clamp(min=1.0)
+    m2 = (d * d).sum(1) / cnt
+    m1 = d.sum(1) / cnt
+    ref = torch.sqrt(m2 - lambd * m1 ** 2 + eps).mean()
+    np.testing.assert_allclose(float(out), float(ref), rtol=1e-5)
+
+
+def test_silog_loss_scale_invariance(rng):
+    """lambd=1 makes the loss exactly invariant to a global scale."""
+    from image_segmentation_lab_tpu.models.losses import SiLogLoss
+    pred = np.abs(_rand(rng, 1, 8, 8)) + 0.1
+    tgt = np.abs(_rand(rng, 1, 8, 8)) + 0.1
+    fn = SiLogLoss(lambd=1.0)
+    a = float(fn(jnp.asarray(pred), jnp.asarray(tgt)))
+    b = float(fn(jnp.asarray(pred * 7.0), jnp.asarray(tgt)))
+    np.testing.assert_allclose(a, b, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Hausdorff-distance loss (on-device EDT vs scipy golden)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape,p_fg", [
+    ((16, 16), 0.5), ((24, 16), 0.2), ((17, 13), 0.8), ((8, 8), 0.05),
+])
+def test_edt_sq_matches_scipy(rng, shape, p_fg):
+    from scipy.ndimage import distance_transform_edt
+
+    from image_segmentation_lab_tpu.models.losses import edt_sq
+    mask = rng.rand(*shape) < p_fg
+    mask[0, 0] = False  # guarantee background exists
+    out = np.asarray(edt_sq(jnp.asarray(mask)))
+    ref = distance_transform_edt(mask) ** 2
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_edt_sq_degenerate_masks():
+    from image_segmentation_lab_tpu.models.losses import edt_sq
+    # no foreground: all zeros (scipy convention)
+    np.testing.assert_allclose(
+        np.asarray(edt_sq(jnp.zeros((8, 8), bool))), 0.0)
+    # no background: defined as zeros here (scipy is undefined)
+    np.testing.assert_allclose(
+        np.asarray(edt_sq(jnp.ones((8, 8), bool))), 0.0)
+
+
+def test_hausdorff_loss_matches_scipy_derivation(rng):
+    from scipy.ndimage import distance_transform_edt
+
+    from image_segmentation_lab_tpu.models.losses import (
+        HuasdorffDisstanceLoss)
+    N, H, W, C = 2, 16, 16, 3
+    pred = _rand(rng, N, H, W, C)
+    label = rng.randint(0, C, (N, H, W))
+    label[0, :2] = 255  # ignore region
+    out = float(HuasdorffDisstanceLoss()(jnp.asarray(pred),
+                                         jnp.asarray(label)))
+
+    probs = TF.softmax(torch.tensor(pred), dim=-1).numpy()
+    valid = label != 255
+    tgt = np.where(valid, label, 0)
+    seg = probs.argmax(-1)
+    total = np.zeros(N)
+    for c in range(1, C):
+        gt_dtm2 = np.stack([distance_transform_edt(tgt[b] == c) ** 2
+                            for b in range(N)])
+        seg_dtm2 = np.stack([distance_transform_edt(seg[b] == c) ** 2
+                             for b in range(N)])
+        y = (tgt == c).astype(np.float32)
+        delta = (probs[..., c] - y) ** 2 * valid
+        total += (delta * (gt_dtm2 + seg_dtm2)).mean(axis=(1, 2))
+    ref = (total / C).mean()
+    np.testing.assert_allclose(out, ref, rtol=1e-4)
+
+
+def test_hausdorff_loss_gradient_flows_through_probs_only(rng):
+    from image_segmentation_lab_tpu.models.losses import (
+        HuasdorffDisstanceLoss)
+    pred = jnp.asarray(_rand(rng, 1, 8, 8, 2))
+    label = jnp.asarray(rng.randint(0, 2, (1, 8, 8)))
+    fn = HuasdorffDisstanceLoss()
+    g = jax.grad(lambda p: fn(p, label))(pred)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0.0

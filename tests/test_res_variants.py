@@ -188,6 +188,75 @@ def test_splat_bottleneck_matches_torch(rng, stride):
     assert_feature_parity(out, ref)
 
 
+# ---------------------------------------------------------------------------
+# ResNeXt grouped bottleneck
+# ---------------------------------------------------------------------------
+
+
+def t_grouped_bottleneck(params, stats, x, groups, stride=1, dilation=1,
+                         expansion_out=None):
+    inplanes = x.shape[1]
+    out = TF.relu(tbn(tconv(x, P(params, "conv1/weight")),
+                      params, stats, "bn1"))
+    out = tconv(out, P(params, "conv2/weight"), stride=stride,
+                padding=dilation, dilation=dilation, groups=groups)
+    out = TF.relu(tbn(out, params, stats, "bn2"))
+    out = tbn(tconv(out, P(params, "conv3/weight")), params, stats, "bn3")
+    identity = x
+    if stride != 1 or inplanes != expansion_out:
+        identity = tbn(tconv(identity, P(params, "downsample_conv/weight"),
+                             stride=stride),
+                       params, stats, "downsample_bn")
+    return TF.relu(out + identity)
+
+
+@pytest.mark.parametrize("groups,base_width,stride,dilation", [
+    (4, 8, 1, 1),    # width (32*8//64)*4 = 16, residual block
+    (4, 8, 2, 1),    # strided entry with downsample
+    (8, 4, 1, 2),    # dilated grouped conv, width (32*4//64)*8 = 16
+])
+def test_resnext_bottleneck_matches_torch(rng, groups, base_width, stride,
+                                          dilation):
+    from image_segmentation_lab_tpu.models.backbones.resnet import Bottleneck
+    m = Bottleneck(inplanes=128, planes=32, stride=stride, dilation=dilation,
+                   groups=groups, base_width=base_width, base_channels=64)
+    width = (32 * base_width // 64) * groups
+    x = rng.randn(2, 8, 8, 128).astype(np.float32)
+    variables = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    variables = randomize(variables, seed=91)
+    # conv2 is grouped at the ResNeXt width: kernel (3,3,width/groups,width)
+    assert variables["params"]["conv2"]["weight"].shape == (
+        3, 3, width // groups, width)
+    out = m.apply(variables, jnp.asarray(x), mutable=False)
+    ref = t_grouped_bottleneck(variables["params"], variables["batch_stats"],
+                               _t(x.transpose(0, 3, 1, 2)), groups,
+                               stride=stride, dilation=dilation,
+                               expansion_out=32 * 4)
+    assert_feature_parity(out, ref)
+
+
+def test_resnext_backbone_shapes_and_width(rng):
+    cfg = dict(type="ResNeXt", depth=50, groups=32, base_width=4,
+               out_indices=(0, 1, 2, 3), dilations=(1, 1, 2, 4),
+               strides=(1, 2, 1, 1), contract_dilation=True)
+    m = build_module_from_cfg(cfg, BACKBONE)
+    x = jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    outs = m.apply(variables, x, mutable=False)
+    assert [o.shape for o in outs] == [
+        (1, 8, 8, 256), (1, 4, 4, 512), (1, 4, 4, 1024), (1, 4, 4, 2048)]
+    # 32x4d stage-1 width: floor(64*4/64)*32 = 128, grouped 3x3 in/groups=4
+    blk0 = variables["params"]["layer1"]["blocks_0"]
+    assert blk0["conv2"]["weight"].shape == (3, 3, 4, 128)
+    # groups=1 keeps plain-ResNet widths (default-compat regression)
+    m1 = build_module_from_cfg(dict(type="ResNeXt", depth=50, groups=1,
+                                    out_indices=(3,)), BACKBONE)
+    v1 = m1.init(jax.random.PRNGKey(0),
+                 jnp.asarray(rng.randn(1, 32, 32, 3).astype(np.float32)))
+    assert v1["params"]["layer1"]["blocks_0"]["conv2"]["weight"].shape == (
+        3, 3, 64, 64)
+
+
 def test_resnest_backbone_shapes(rng):
     cfg = dict(type="ResNeSt", depth=50, radix=2, reduction_factor=4,
                avg_down_stride=True, out_indices=(0, 1, 2, 3),
