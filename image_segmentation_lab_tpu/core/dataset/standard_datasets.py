@@ -1,4 +1,5 @@
-"""Standard-benchmark dataset classes (ADE20K, Pascal VOC).
+"""Standard-benchmark dataset classes (ADE20K, VOC, COCO-Stuff, LoveDA,
+Potsdam, Vaihingen, iSAID, STARE).
 
 The reference only ships Kvasir (+ an orphaned cityscapes config) but its
 evaluation tables cover ten datasets (core/evaluation/class_names.py);
@@ -39,3 +40,84 @@ class PascalVOCDataset(CustomDataset):
         super().__init__(img_suffix=img_suffix,
                          seg_map_suffix=seg_map_suffix, split=split,
                          **kwargs)
+
+
+@DATASET.register()
+class COCOStuffDataset(CustomDataset):
+    """COCO-Stuff (164k layout): 171 classes, ``_labelTrainIds.png`` masks."""
+
+    CLASSES = tuple(get_classes("cocostuff"))
+    PALETTE = get_palette("cocostuff")
+
+    def __init__(self, img_suffix=".jpg",
+                 seg_map_suffix="_labelTrainIds.png", **kwargs):
+        super().__init__(img_suffix=img_suffix,
+                         seg_map_suffix=seg_map_suffix, **kwargs)
+
+
+@DATASET.register()
+class LoveDADataset(CustomDataset):
+    """LoveDA remote sensing: 7 classes, ids shifted down by one (0 = ignore)."""
+
+    CLASSES = tuple(get_classes("loveda"))
+    PALETTE = get_palette("loveda")
+
+    def __init__(self, img_suffix=".png", seg_map_suffix=".png",
+                 reduce_zero_label=True, **kwargs):
+        super().__init__(img_suffix=img_suffix,
+                         seg_map_suffix=seg_map_suffix,
+                         reduce_zero_label=reduce_zero_label, **kwargs)
+
+
+@DATASET.register()
+class PotsdamDataset(CustomDataset):
+    """ISPRS Potsdam aerial tiles: 6 classes, ids shifted down by one."""
+
+    CLASSES = tuple(get_classes("potsdam"))
+    PALETTE = get_palette("potsdam")
+
+    def __init__(self, img_suffix=".png", seg_map_suffix=".png",
+                 reduce_zero_label=True, **kwargs):
+        super().__init__(img_suffix=img_suffix,
+                         seg_map_suffix=seg_map_suffix,
+                         reduce_zero_label=reduce_zero_label, **kwargs)
+
+
+@DATASET.register()
+class VaihingenDataset(CustomDataset):
+    """ISPRS Vaihingen aerial tiles: same label contract as Potsdam."""
+
+    CLASSES = tuple(get_classes("vaihingen"))
+    PALETTE = get_palette("vaihingen")
+
+    def __init__(self, img_suffix=".png", seg_map_suffix=".png",
+                 reduce_zero_label=True, **kwargs):
+        super().__init__(img_suffix=img_suffix,
+                         seg_map_suffix=seg_map_suffix,
+                         reduce_zero_label=reduce_zero_label, **kwargs)
+
+
+@DATASET.register()
+class iSAIDDataset(CustomDataset):
+    """iSAID aerial instance-as-semantic: 16 classes, 255 = ignore."""
+
+    CLASSES = tuple(get_classes("isaid"))
+    PALETTE = get_palette("isaid")
+
+    def __init__(self, img_suffix=".png",
+                 seg_map_suffix="_instance_color_RGB.png", **kwargs):
+        super().__init__(img_suffix=img_suffix,
+                         seg_map_suffix=seg_map_suffix, **kwargs)
+
+
+@DATASET.register()
+class STAREDataset(CustomDataset):
+    """STARE retinal vessels: binary fg/bg, ``.ah.png`` annotations."""
+
+    CLASSES = tuple(get_classes("stare"))
+    PALETTE = get_palette("stare")
+
+    def __init__(self, img_suffix=".png", seg_map_suffix=".ah.png",
+                 **kwargs):
+        super().__init__(img_suffix=img_suffix,
+                         seg_map_suffix=seg_map_suffix, **kwargs)

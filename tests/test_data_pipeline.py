@@ -221,6 +221,47 @@ def test_standard_datasets_registered(tmp_path):
     assert "PascalVOCDataset" in DATASET
 
 
+def test_benchmark_dataset_classes_registered(tmp_path):
+    """The six table-backed benchmark datasets register with the right
+    label contracts (suffix conventions + reduce_zero_label)."""
+    import cv2
+    from image_segmentation_lab_tpu.core.builder import DATASET, build_from_cfg
+
+    for name in ("COCOStuffDataset", "LoveDADataset", "PotsdamDataset",
+                 "VaihingenDataset", "iSAIDDataset", "STAREDataset"):
+        assert name in DATASET
+
+    import inspect
+    from image_segmentation_lab_tpu.core.dataset import (COCOStuffDataset,
+                                                         STAREDataset,
+                                                         iSAIDDataset)
+
+    def default(cls, arg):
+        return inspect.signature(cls.__init__).parameters[arg].default
+
+    assert default(COCOStuffDataset, "seg_map_suffix") == "_labelTrainIds.png"
+    assert default(iSAIDDataset, "seg_map_suffix") == \
+        "_instance_color_RGB.png"
+    assert default(STAREDataset, "seg_map_suffix") == ".ah.png"
+    assert len(COCOStuffDataset.CLASSES) == 171
+    assert len(iSAIDDataset.CLASSES) == 16
+
+    # Potsdam end-to-end: ids shift down by one, raw 0 → ignore.
+    img_dir, ann_dir = tmp_path / "img", tmp_path / "ann"
+    img_dir.mkdir(); ann_dir.mkdir()
+    cv2.imwrite(str(img_dir / "t.png"), np.zeros((16, 16, 3), np.uint8))
+    ann = np.full((16, 16), 2, np.uint8)
+    ann[:4] = 0
+    cv2.imwrite(str(ann_dir / "t.png"), ann)
+    ds = build_from_cfg(dict(
+        type="PotsdamDataset", img_dir=str(img_dir), ann_dir=str(ann_dir),
+        pipeline="configs/augmentation/synthetic_val_transform.yaml"),
+        DATASET)
+    assert ds.num_classes == 6 and ds.reduce_zero_label
+    _, mask, _ = ds[0]
+    assert set(np.unique(mask).astype(int)) == {1, 255}
+
+
 def test_palette_png_masks_load_as_indices(tmp_path):
     """VOC-style P-mode PNGs must yield class indices, not luminance."""
     from PIL import Image
