@@ -320,7 +320,13 @@ def main():
     setr_ips = None
     segnext_ips = None
     pidnet_ips = None
+    mask2former_ips = None
     if not args.quick and not args.no_zoo_bench:
+        # Mask2Former-R50: mask-classification flagship (masked attention,
+        # on-device auction matching)
+        mask2former_ips = measure_whole_config(
+            "configs/network/maskformer/mask2former_r50.py",
+            iters=max(iters, 5))
         # PIDNet-S: the realtime three-branch family (round-3 addition)
         pidnet_ips = measure_whole_config(
             "configs/network/pidnet/pidnet-s.py", iters=max(iters, 5))
@@ -360,6 +366,8 @@ def main():
                 round(segnext_ips, 3) if segnext_ips else None),
             "pidnet_s_whole640_images_per_sec": (
                 round(pidnet_ips, 3) if pidnet_ips else None),
+            "mask2former_r50_whole640_images_per_sec": (
+                round(mask2former_ips, 3) if mask2former_ips else None),
             "quick": args.quick,
         },
     }
