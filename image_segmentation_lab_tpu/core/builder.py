@@ -79,8 +79,14 @@ def build_optimizer(cfg: Dict[str, Any], params: Any = None,
     """
     cfg = _plain(cfg)
     opt_type = cfg.pop("type")
-    factory = OPTIMIZER.get(opt_type)
-    tx = factory(**cfg)
+    paramwise_cfg = cfg.pop("paramwise_cfg", None)
+    if paramwise_cfg:
+        from .optimizers.paramwise import build_paramwise_optimizer
+        tx = build_paramwise_optimizer(opt_type, cfg, paramwise_cfg,
+                                       OPTIMIZER)
+    else:
+        factory = OPTIMIZER.get(opt_type)
+        tx = factory(**cfg)
     if frozen_mask is not None:
         import optax
         tx = optax.masked(tx, frozen_mask)
