@@ -17,6 +17,7 @@ from .knet_head import (IterativeDecodeHead, KernelUpdateHead, KernelUpdator)
 from .fcn_head import FCNHead
 from .fpn_head import FPNHead
 from .nl_head import NLHead
+from .ddr_head import DDRHead
 from .pid_head import PIDHead, boundary_from_label
 from .point_head import PointHead
 from .psa_head import PSAHead, psa_mask

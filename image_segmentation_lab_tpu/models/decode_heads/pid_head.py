@@ -2,8 +2,8 @@
 PIDNet backbone.
 
 Beyond-reference addition.  Consumes the backbone's ``(x_p, x_d,
-merged)`` triple: at eval only the merged 1/8 features run (BN-ReLU-3x3
-then the 1x1 classifier); in training the P tap gets its own semantic
+merged)`` triple: at eval only the merged 1/8 features run (BN-ReLU-3x3-
+BN-ReLU then the 1x1 classifier); in training the P tap gets its own semantic
 classifier and the D tap a 1-channel boundary classifier, with four
 losses in the upstream arrangement:
 
@@ -35,6 +35,7 @@ from flax import linen as nn
 
 from ...core.registry_hub import DECODEHEAD
 from ...core.initialize.init_functions import constant_, normal_
+from ..builder import build_norm_layer
 from ...utils.ops import resize
 from ..basic.convolution import Conv2d
 from ..common.conv_module import ConvModule
@@ -80,8 +81,8 @@ def boundary_from_label(label: jnp.ndarray, edge_width: int = 4,
 
 
 class _BasePIDHead(nn.Module):
-    """BN -> ReLU -> 3x3 conv -> (optional BN+ReLU) -> 1x1 classifier
-    (mmseg ``BasePIDHead`` with its pre-activation ConvModule order)."""
+    """BN -> ReLU -> 3x3 conv -> BN -> ReLU -> 1x1 classifier (the official
+    PIDNet/DDRNet ``segmenthead`` block; mmseg ``BasePIDHead``)."""
 
     in_channels: int
     channels: int
@@ -94,12 +95,17 @@ class _BasePIDHead(nn.Module):
                                padding=1, norm_cfg=ncfg,
                                act_cfg=dict(type="ReLU"),
                                order=("norm", "act", "conv"))
+        # official segmenthead: bn1-relu-conv3x3-bn2-relu-conv1x1 — the
+        # second norm+act sits between the 3x3 and the classifier
+        self.norm = build_norm_layer(ncfg, self.channels)[1]
         self.cls = Conv2d(self.channels, self.out_channels, 1,
                           weight_init=normal_(0, 0.01),
                           bias_init=constant_(0.0))
 
     def __call__(self, x, train: bool = False):
-        return self.cls(self.conv(x, train=train), train=train)
+        x = self.conv(x, train=train)
+        x = nn.relu(self.norm(x, train=train))
+        return self.cls(x, train=train)
 
 
 @DECODEHEAD.register()
