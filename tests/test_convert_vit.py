@@ -1,0 +1,118 @@
+"""Upstream-ViT checkpoint conversion: timm and mmseg state_dicts must
+round-trip exactly onto this framework's ViT param tree.
+
+Each test inverse-maps our randomly initialized ViT params into a torch
+state_dict with the upstream naming/layout (transposed linears, fused
+in_proj), runs the converter, loads through the real checkpoint loader with
+strict=True, and asserts every leaf equals the original — so both the name
+mapping and the transpose conventions are pinned leaf-for-leaf.
+"""
+
+import pickle
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from convert_torch_checkpoint import convert_state_dict  # noqa: E402
+
+import flax  # noqa: E402
+
+from image_segmentation_lab_tpu.core.initialize import load_checkpoint
+from image_segmentation_lab_tpu.core.registry_hub import BACKBONE
+from image_segmentation_lab_tpu.models.builder import build_module_from_cfg
+
+
+def _vit_and_params():
+    m = build_module_from_cfg(
+        dict(type="VisionTransformer", arch="tiny", embed_dims=16,
+             num_layers=2, num_heads=2, pretrain_img_size=32, patch_size=8,
+             final_norm=True, out_indices=(-1,)), BACKBONE)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, jnp.zeros((1, 32, 32, 3)))
+    flat = {".".join(k): np.asarray(le) for k, le in
+            flax.traverse_util.flatten_dict(v["params"]).items()}
+    return m, v, flat
+
+
+def _t(a):
+    return torch.from_numpy(np.ascontiguousarray(a))
+
+
+def _timm_sd(flat):
+    """Inverse-map our params into timm vision_transformer naming."""
+    sd = {}
+    for key, arr in flat.items():
+        tk = key
+        tk = tk.replace("patch_embed_proj.", "patch_embed.proj.")
+        for i in range(8):
+            tk = tk.replace(f"block{i}.", f"blocks.{i}.")
+        tk = tk.replace(".fc1.", ".mlp.fc1.").replace(".fc2.", ".mlp.fc2.")
+        if tk.startswith("norm1."):
+            tk = tk.replace("norm1.", "norm.")
+        if arr.ndim == 4:        # HWIO → OIHW
+            arr = arr.transpose(3, 2, 0, 1)
+        elif arr.ndim == 2 and key.endswith(".weight"):
+            arr = arr.T          # (in,out) → (out,in)
+        sd[tk] = _t(arr)
+    return sd
+
+
+def _mmseg_sd(flat):
+    """Inverse-map into mmseg VisionTransformer naming (fused in_proj)."""
+    sd = {}
+    for key, arr in flat.items():
+        tk = key
+        tk = tk.replace("patch_embed_proj.", "patch_embed.projection.")
+        for i in range(8):
+            tk = tk.replace(f"block{i}.", f"layers.{i}.")
+        tk = tk.replace(".norm1.", ".ln1.").replace(".norm2.", ".ln2.")
+        tk = tk.replace(".attn.qkv.weight", ".attn.attn.in_proj_weight")
+        tk = tk.replace(".attn.qkv.bias", ".attn.attn.in_proj_bias")
+        tk = tk.replace(".attn.proj.", ".attn.attn.out_proj.")
+        tk = tk.replace(".fc1.", ".ffn.layers.0.0.")
+        tk = tk.replace(".fc2.", ".ffn.layers.1.")
+        if tk.startswith("norm1."):
+            tk = "ln1." + tk[len("norm1."):]
+        if arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)
+        elif arr.ndim == 2 and key.endswith(".weight"):
+            arr = arr.T
+        sd[tk] = _t(arr)
+    return sd
+
+
+def _roundtrip(make_sd, tmp_path):
+    m, v, flat = _vit_and_params()
+    sd = make_sd(flat)
+    converted = convert_state_dict(sd)
+    path = tmp_path / "vit.pth"
+    with open(path, "wb") as f:
+        pickle.dump({"metadata": {}, "state_dict": converted}, f)
+
+    # zero the live tree so the load provably writes every leaf
+    zeroed = jax.tree.map(jnp.zeros_like, v)
+    loaded, _ = load_checkpoint(zeroed, path, strict=True, logger=None)
+    got = {".".join(k): np.asarray(le) for k, le in
+           flax.traverse_util.flatten_dict(loaded["params"]).items()}
+    assert set(got) == set(flat)
+    for key in flat:
+        np.testing.assert_array_equal(got[key], flat[key], err_msg=key)
+
+    # and the loaded tree runs
+    out = m.apply(loaded, jnp.zeros((1, 32, 32, 3)))
+    feat = out[-1] if isinstance(out, (list, tuple)) else out
+    assert np.isfinite(np.asarray(feat)).all()
+
+
+def test_timm_vit_checkpoint_roundtrips(tmp_path):
+    _roundtrip(_timm_sd, tmp_path)
+
+
+def test_mmseg_vit_checkpoint_roundtrips(tmp_path):
+    _roundtrip(_mmseg_sd, tmp_path)

@@ -12,7 +12,13 @@ naming and layout so ``--load-from`` / ``PretrainedInit`` work:
   ``downsample.0/1`` → ``downsample_conv/bn``, ``convs.K`` → ``convs_K``,
   ASPP/PPM branch indices → ``branches_K``, deep-stem Sequential indices →
   ``stem_K`` (ReLU slots removed);
-* norm ``num_batches_tracked`` dropped (our BatchNorm has fixed momentum).
+* norm ``num_batches_tracked`` dropped (our BatchNorm has fixed momentum);
+* upstream ViT checkpoints in timm naming (``blocks.N``, ``mlp.fc1/2``,
+  ``patch_embed.proj``, top-level ``norm``) and mmseg naming
+  (``layers.N.ln1/ln2``, ``attn.attn.in_proj_*``/``out_proj``,
+  ``ffn.layers.0.0/1``, ``patch_embed.projection``) map onto this
+  framework's ``block{i}`` tree, with the fused ``in_proj_weight``
+  transposed like any linear.
 
 Usage:
     python tools/convert_torch_checkpoint.py in.pth out.pth
@@ -34,6 +40,24 @@ if str(REPO_ROOT) not in sys.path:
 
 # ordered rename rules (regex, replacement)
 RENAME_RULES = [
+    # ---- upstream ViT, timm naming (timm.models.vision_transformer) ----
+    (re.compile(r"patch_embed\.proj\."), "patch_embed_proj."),
+    (re.compile(r"\bblocks\.(\d+)\."), r"block\1."),
+    (re.compile(r"\.mlp\.fc1\."), ".fc1."),
+    (re.compile(r"\.mlp\.fc2\."), ".fc2."),
+    (re.compile(r"^norm\.|(?<=backbone\.)norm\."), "norm1."),
+    # ---- upstream ViT, mmseg naming (mmseg VisionTransformer:
+    # layers.N.{ln1,ln2}, nn.MultiheadAttention in_proj/out_proj, FFN) ----
+    (re.compile(r"patch_embed\.projection\."), "patch_embed_proj."),
+    (re.compile(r"\blayers\.(\d+)\.ln1\."), r"block\1.norm1."),
+    (re.compile(r"\blayers\.(\d+)\.ln2\."), r"block\1.norm2."),
+    (re.compile(r"\blayers\.(\d+)\.attn\.attn\.in_proj_"),
+     r"block\1.attn.qkv."),
+    (re.compile(r"\blayers\.(\d+)\.attn\.attn\.out_proj\."),
+     r"block\1.attn.proj."),
+    (re.compile(r"\blayers\.(\d+)\.ffn\.layers\.0\.0\."), r"block\1.fc1."),
+    (re.compile(r"\blayers\.(\d+)\.ffn\.layers\.1\."), r"block\1.fc2."),
+    (re.compile(r"^ln1\.|(?<=backbone\.)ln1\."), "norm1."),
     # residual stages: layer1.0.conv1 → layer1.blocks_0.conv1
     (re.compile(r"(layer\d+)\.(\d+)\."), r"\1.blocks_\2."),
     # block downsample Sequential → named fields
@@ -80,7 +104,10 @@ def convert_state_dict(torch_sd: dict) -> dict:
     for key, value in torch_sd.items():
         if key.endswith("num_batches_tracked"):
             continue
-        out[convert_key(key)] = convert_tensor(key, value)
+        # transpose decisions use the CONVERTED key so fused projections
+        # that torch names `in_proj_weight` (→ `qkv.weight`) transpose too
+        new_key = convert_key(key)
+        out[new_key] = convert_tensor(new_key, value)
     return out
 
 
