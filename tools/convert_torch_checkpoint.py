@@ -18,7 +18,13 @@ naming and layout so ``--load-from`` / ``PretrainedInit`` work:
   (``layers.N.ln1/ln2``, ``attn.attn.in_proj_*``/``out_proj``,
   ``ffn.layers.0.0/1``, ``patch_embed.projection``) map onto this
   framework's ``block{i}`` tree, with the fused ``in_proj_weight``
-  transposed like any linear.
+  transposed like any linear;
+* upstream Swin checkpoints (timm ``layers.N.blocks.M`` or mmseg/mmcv
+  ``stages.N.blocks.M`` + ``attn.w_msa`` + ``ffn.layers``) map onto the
+  ``stage{i}_block{j}`` / ``downsample{i}`` tree; derived buffers
+  (``relative_position_index``, ``attn_mask``) are dropped — our modules
+  rebuild them statically.  Note window_size must match: bias tables are
+  (2*ws-1)² rows and are not resampled here.
 
 Usage:
     python tools/convert_torch_checkpoint.py in.pth out.pth
@@ -40,6 +46,18 @@ if str(REPO_ROOT) not in sys.path:
 
 # ordered rename rules (regex, replacement)
 RENAME_RULES = [
+    # ---- upstream Swin (timm: layers.N.blocks.M / downsample;
+    #      mmseg/mmcv: stages.N.blocks.M, attn.w_msa, ffn.layers) ----
+    # these must precede the ViT `blocks.N` rule, which would otherwise
+    # mangle the two-level Swin paths
+    (re.compile(r"\blayers\.(\d+)\.blocks\.(\d+)\."), r"stage\1_block\2."),
+    (re.compile(r"\bstages\.(\d+)\.blocks\.(\d+)\."), r"stage\1_block\2."),
+    (re.compile(r"\blayers\.(\d+)\.downsample\."), r"downsample\1."),
+    (re.compile(r"\bstages\.(\d+)\.downsample\."), r"downsample\1."),
+    (re.compile(r"(stage\d+_block\d+)\.attn\.w_msa\."), r"\1.attn."),
+    (re.compile(r"(stage\d+_block\d+)\.ffn\.layers\.0\.0\."), r"\1.fc1."),
+    (re.compile(r"(stage\d+_block\d+)\.ffn\.layers\.1\."), r"\1.fc2."),
+    (re.compile(r"patch_embed\.norm\."), "patch_embed_norm."),
     # ---- upstream ViT, timm naming (timm.models.vision_transformer) ----
     (re.compile(r"patch_embed\.proj\."), "patch_embed_proj."),
     (re.compile(r"\bblocks\.(\d+)\."), r"block\1."),
@@ -83,8 +101,17 @@ RENAME_RULES = [
 ]
 
 
-def convert_key(key: str) -> str:
+_SWIN_MARKER = re.compile(r"(?:\blayers|\bstages)\.\d+\.blocks\.\d+\.|w_msa")
+# timm Swin's single final `norm` normalizes the last stage's output —
+# our (and mmseg's) `norm3`; for ViT the same key is the final encoder
+# norm, our `norm1`.  Resolved per state_dict, not per key.
+_FINAL_NORM = re.compile(r"^norm\.|(?<=backbone\.)norm\.")
+
+
+def convert_key(key: str, swin: bool = False) -> str:
     key = re.sub(r"^module\.", "", key)
+    if swin:
+        key = _FINAL_NORM.sub("norm3.", key)
     for pattern, repl in RENAME_RULES:
         key = pattern.sub(repl, key)
     return key
@@ -101,12 +128,14 @@ def convert_tensor(key: str, t) -> np.ndarray:
 
 def convert_state_dict(torch_sd: dict) -> dict:
     out = {}
+    swin = any(_SWIN_MARKER.search(k) for k in torch_sd)
     for key, value in torch_sd.items():
-        if key.endswith("num_batches_tracked"):
-            continue
+        if key.endswith(("num_batches_tracked", "relative_position_index",
+                         "attn_mask")):
+            continue  # buffers our modules derive statically
         # transpose decisions use the CONVERTED key so fused projections
         # that torch names `in_proj_weight` (→ `qkv.weight`) transpose too
-        new_key = convert_key(key)
+        new_key = convert_key(key, swin=swin)
         out[new_key] = convert_tensor(new_key, value)
     return out
 
