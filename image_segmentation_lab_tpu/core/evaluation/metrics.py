@@ -75,6 +75,7 @@ class SegEvaluator:
                  format_only: bool = False,
                  prefix: Optional[str] = None,
                  align_corners: bool = False,
+                 save_pred_dir: Optional[str] = None,
                  **kwargs) -> None:
         self.epoch = epoch
         self.num_classes = num_classes
@@ -89,10 +90,14 @@ class SegEvaluator:
         self.prefix = prefix
         self.format_only = format_only
         self.align_corners = align_corners
+        self.save_pred_dir = save_pred_dir
         if self.output_dir:
             mkdir_or_exist(self.output_dir)
+        if self.save_pred_dir:
+            mkdir_or_exist(self.save_pred_dir)
         # per-head running sums: [inter, union, pred, label]
         self.results: Dict[str, List[np.ndarray]] = {}
+        self._saved_count = 0
 
     # ------------------------------------------------------------ process
     def _accumulate(self, head: str, inter, pred, label):
@@ -125,6 +130,56 @@ class SegEvaluator:
 
         if want_plot:
             self.plot_results(batch_idx, preds_for_plot, batch_infos)
+        if self.save_pred_dir:
+            self._save_predictions(pred_batch, batch_infos)
+
+    # --------------------------------------------------- prediction export
+    def _save_predictions(self, pred_batch, batch_infos):
+        """Write one prediction map per image (``--save-pred``): class
+        indices as palette-indexed PNGs (the mmseg submission format),
+        named after the source image.  Opt-in — this fetches every
+        prediction map (int, not logits) to the host."""
+        head = "decode" if "decode" in pred_batch else sorted(pred_batch)[0]
+        value = pred_batch[head]
+        if isinstance(value, dict):
+            value = value[sorted(value)[0]]
+        files = batch_infos.get("img_file_path")
+        labels = batch_infos.get("ori_gt")
+        if isinstance(value, (list, tuple)):
+            preds = []
+            for i, logit in enumerate(value):
+                logit = np.asarray(jax.device_get(logit))
+                if logit.ndim == 4:
+                    logit = logit[0]
+                if isinstance(labels, list) and i < len(labels):
+                    gt_shape = np.asarray(labels[i]).shape
+                    if logit.shape[:2] != gt_shape:
+                        logit = resize_logits_np(logit, gt_shape,
+                                                 self.align_corners)
+                preds.append(logit.argmax(-1))
+        else:
+            arr = np.asarray(jax.device_get(
+                jnp.argmax(jnp.asarray(value), axis=-1).astype(jnp.int32)))
+            preds = [arr[i] for i in range(arr.shape[0])]
+        import os.path as osp
+
+        from PIL import Image
+        for i, pred in enumerate(preds):
+            if files and i < len(files):
+                stem = osp.splitext(osp.basename(str(files[i])))[0]
+            else:
+                stem = f"{self._saved_count + i:06d}"
+            out = f"{self.save_pred_dir}/{stem}.png"
+            if self.num_classes <= 255 and self.palette is not None:
+                img = Image.fromarray(pred.astype(np.uint8), mode="P")
+                pal = np.zeros((256, 3), np.uint8)
+                pal[:len(self.palette)] = np.asarray(self.palette,
+                                                     np.uint8)
+                img.putpalette(pal.flatten().tolist())
+            else:
+                img = Image.fromarray(pred.astype(np.int32), mode="I")
+            img.save(out)
+        self._saved_count += len(preds)
 
     def _process_one(self, head, value, labels, preds_for_plot,
                      want_plot=True):

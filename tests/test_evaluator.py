@@ -136,3 +136,39 @@ def test_plotting_host_transfer_bounded(rng, tmp_path, monkeypatch):
     # metrics still cover ALL N images
     total = sum(ev2.results["decode"][3])
     assert total == N * 8 * 8
+
+
+def test_save_pred_writes_palette_pngs(rng, tmp_path):
+    """--save-pred path: one P-mode PNG per image, class indices intact,
+    named after the source image (dense uniform-size path)."""
+    from PIL import Image
+    pred_logits = rng.randn(3, 8, 8, 3).astype(np.float32)
+    gt = rng.randint(0, 3, (3, 8, 8))
+    ev = make_eval(save_pred_dir=str(tmp_path / "preds"))
+    ev.process(0, {"decode": pred_logits},
+               {"ori_gt": gt,
+                "img_file_path": ["/data/img/a.jpg", "/data/img/b.jpg",
+                                  "/data/img/c.jpg"]})
+    want = pred_logits.argmax(-1)
+    for i, stem in enumerate(["a", "b", "c"]):
+        f = tmp_path / "preds" / f"{stem}.png"
+        assert f.exists()
+        with Image.open(f) as im:
+            assert im.mode == "P"
+            got = np.asarray(im)
+        np.testing.assert_array_equal(got, want[i])
+
+
+def test_save_pred_ragged_sizes_resizes_to_gt(rng, tmp_path):
+    """Per-image original sizes: predictions save at the gt resolution."""
+    from PIL import Image
+    logits = [rng.randn(1, 8, 8, 3).astype(np.float32),
+              rng.randn(1, 8, 8, 3).astype(np.float32)]
+    gts = [rng.randint(0, 3, (12, 10)), rng.randint(0, 3, (6, 7))]
+    ev = make_eval(save_pred_dir=str(tmp_path / "preds"))
+    ev.process(0, {"decode": logits},
+               {"ori_gt": gts, "img_file_path": ["x.png", "y.png"]})
+    with Image.open(tmp_path / "preds" / "x.png") as im:
+        assert np.asarray(im).shape == (12, 10)
+    with Image.open(tmp_path / "preds" / "y.png") as im:
+        assert np.asarray(im).shape == (6, 7)

@@ -40,6 +40,10 @@ def parse_args():
                              "augmentation (averaged probabilities)")
     parser.add_argument("--tta-scales", type=float, nargs="+",
                         default=[0.75, 1.0, 1.25])
+    parser.add_argument("--save-pred", action="store_true",
+                        help="write one palette-indexed prediction PNG per "
+                             "image (mmseg submission format) under "
+                             "<run>/predictions/")
     return parser.parse_args()
 
 
@@ -135,7 +139,9 @@ def main():
         palette=dataset.PALETTE,
         ignore_index=(dataset.ignore_index
                       if dataset.ignore_index is not None else 255),
-        output_dir=str(save_dir / "pred_results"))
+        output_dir=str(save_dir / "pred_results"),
+        save_pred_dir=(str(save_dir / "predictions")
+                       if args.save_pred else None))
     val_vars, metrics = validate_one_epoch(
         0, eval_step, state, loader, evaluator,
         pipeline=dataset.device_pipeline)
