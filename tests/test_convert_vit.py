@@ -222,3 +222,95 @@ def test_timm_swin_checkpoint_loads_nonstrict(tmp_path):
         else:
             np.testing.assert_array_equal(got[key], flat[key], err_msg=key)
     assert untouched == 6  # 3 out-norms x (weight, bias)
+
+
+# ------------------------------------------------------------- ConvNeXt
+def _convnext_and_params():
+    m = build_module_from_cfg(
+        dict(type="ConvNeXt", arch="tiny", out_indices=(0, 1, 2, 3)),
+        BACKBONE)
+    v = m.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 64, 64, 3)))
+    flat = {".".join(k): np.asarray(le) for k, le in
+            flax.traverse_util.flatten_dict(v["params"]).items()}
+    return m, v, flat
+
+
+def _convnext_tensor(key, arr):
+    if key.endswith(("pwconv1.weight", "pwconv2.weight")):
+        h, w, cin, cout = arr.shape     # (1,1,in,out) → Linear (out,in)
+        return arr.reshape(cin, cout).T
+    if arr.ndim == 4:
+        return arr.transpose(3, 2, 0, 1)
+    return arr
+
+
+def _mmpretrain_convnext_sd(flat):
+    """mmpretrain/mmseg ConvNeXt naming: downsample_layers, stages.N.M,
+    depthwise/pointwise_conv, Linear pointwise layers."""
+    sd = {}
+    for key, arr in flat.items():
+        tk = key
+        tk = tk.replace("stem_conv.", "downsample_layers.0.0.")
+        tk = tk.replace("stem_norm.", "downsample_layers.0.1.")
+        for i in range(1, 4):
+            tk = tk.replace(f"downsample{i}_norm.",
+                            f"downsample_layers.{i}.0.")
+            tk = tk.replace(f"downsample{i}_conv.",
+                            f"downsample_layers.{i}.1.")
+        for i in range(4):
+            for j in range(27):
+                tk = tk.replace(f"stage{i}_block{j}.", f"stages.{i}.{j}.")
+        tk = tk.replace(".dwconv.", ".depthwise_conv.")
+        tk = tk.replace(".pwconv1.", ".pointwise_conv1.")
+        tk = tk.replace(".pwconv2.", ".pointwise_conv2.")
+        sd[tk] = _t(_convnext_tensor(key, arr))
+    return sd
+
+
+def _timm_convnext_sd(flat):
+    """timm ConvNeXt naming: stem.0/1, stages.N.blocks.M, conv_dw,
+    mlp.fc1/fc2 (Linear).  Out-norms norm0..3 pass through unchanged
+    (timm feature checkpoints lack them; kept so the strict loader
+    exercises every leaf)."""
+    sd = {}
+    for key, arr in flat.items():
+        tk = key
+        tk = tk.replace("stem_conv.", "stem.0.")
+        tk = tk.replace("stem_norm.", "stem.1.")
+        for i in range(1, 4):
+            tk = tk.replace(f"downsample{i}_norm.",
+                            f"stages.{i}.downsample.0.")
+            tk = tk.replace(f"downsample{i}_conv.",
+                            f"stages.{i}.downsample.1.")
+        for i in range(4):
+            for j in range(27):
+                tk = tk.replace(f"stage{i}_block{j}.",
+                                f"stages.{i}.blocks.{j}.")
+        tk = tk.replace(".dwconv.", ".conv_dw.")
+        tk = tk.replace(".pwconv1.", ".mlp.fc1.")
+        tk = tk.replace(".pwconv2.", ".mlp.fc2.")
+        sd[tk] = _t(_convnext_tensor(key, arr))
+    return sd
+
+
+def _convnext_roundtrip(make_sd, tmp_path):
+    m, v, flat = _convnext_and_params()
+    converted = convert_state_dict(make_sd(flat))
+    path = tmp_path / "convnext.pth"
+    with open(path, "wb") as f:
+        pickle.dump({"metadata": {}, "state_dict": converted}, f)
+    loaded, _ = load_checkpoint(jax.tree.map(jnp.zeros_like, v), path,
+                                strict=True, logger=None)
+    got = {".".join(k): np.asarray(le) for k, le in
+           flax.traverse_util.flatten_dict(loaded["params"]).items()}
+    assert set(got) == set(flat)
+    for key in flat:
+        np.testing.assert_array_equal(got[key], flat[key], err_msg=key)
+
+
+def test_mmpretrain_convnext_checkpoint_roundtrips(tmp_path):
+    _convnext_roundtrip(_mmpretrain_convnext_sd, tmp_path)
+
+
+def test_timm_convnext_checkpoint_roundtrips(tmp_path):
+    _convnext_roundtrip(_timm_convnext_sd, tmp_path)

@@ -24,7 +24,12 @@ naming and layout so ``--load-from`` / ``PretrainedInit`` work:
   ``stage{i}_block{j}`` / ``downsample{i}`` tree; derived buffers
   (``relative_position_index``, ``attn_mask``) are dropped — our modules
   rebuild them statically.  Note window_size must match: bias tables are
-  (2*ws-1)² rows and are not resampled here.
+  (2*ws-1)² rows and are not resampled here;
+* upstream ConvNeXt checkpoints (timm ``stem``/``conv_dw``/``mlp.fc*`` or
+  mmpretrain/mmseg ``downsample_layers``/``depthwise_conv``/
+  ``pointwise_conv*``) map onto the ``stem_*``/``downsample{i}_*``/
+  ``stage{i}_block{j}`` tree, with the Linear pointwise layers reshaped
+  to our 1x1-conv HWIO kernels.
 
 Usage:
     python tools/convert_torch_checkpoint.py in.pth out.pth
@@ -43,6 +48,31 @@ import numpy as np
 REPO_ROOT = Path(__file__).resolve().parents[1]
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
+
+# ConvNeXt-only rules (applied first, only when the state_dict carries
+# ConvNeXt markers): timm's `stem` Sequential and block `mlp.fc*` collide
+# with the ResNet deep-stem and ViT/Swin mlp mappings, so they are gated.
+CONVNEXT_RULES = [
+    (re.compile(r"\bstem\.0\."), "stem_conv."),
+    (re.compile(r"\bstem\.1\."), "stem_norm."),
+    # mmpretrain: downsample_layers.0 = stem, .i>=1 = (LN, 2x2 conv)
+    (re.compile(r"\bdownsample_layers\.0\.0\."), "stem_conv."),
+    (re.compile(r"\bdownsample_layers\.0\.1\."), "stem_norm."),
+    (re.compile(r"\bdownsample_layers\.(\d+)\.0\."), r"downsample\1_norm."),
+    (re.compile(r"\bdownsample_layers\.(\d+)\.1\."), r"downsample\1_conv."),
+    # mmpretrain blocks are directly indexed under stages.N
+    (re.compile(r"\bstages\.(\d+)\.(\d+)\."), r"stage\1_block\2."),
+    # timm: stages.N.blocks.M handled by the shared rule below, then:
+    (re.compile(r"\bstages\.(\d+)\.blocks\.(\d+)\."), r"stage\1_block\2."),
+    (re.compile(r"\bstages\.(\d+)\.downsample\.0\."), r"downsample\1_norm."),
+    (re.compile(r"\bstages\.(\d+)\.downsample\.1\."), r"downsample\1_conv."),
+    (re.compile(r"\.conv_dw\."), ".dwconv."),
+    (re.compile(r"\.depthwise_conv\."), ".dwconv."),
+    (re.compile(r"\.pointwise_conv1\."), ".pwconv1."),
+    (re.compile(r"\.pointwise_conv2\."), ".pwconv2."),
+    (re.compile(r"(stage\d+_block\d+)\.mlp\.fc1\."), r"\1.pwconv1."),
+    (re.compile(r"(stage\d+_block\d+)\.mlp\.fc2\."), r"\1.pwconv2."),
+]
 
 # ordered rename rules (regex, replacement)
 RENAME_RULES = [
@@ -108,10 +138,18 @@ _SWIN_MARKER = re.compile(r"(?:\blayers|\bstages)\.\d+\.blocks\.\d+\.|w_msa")
 _FINAL_NORM = re.compile(r"^norm\.|(?<=backbone\.)norm\.")
 
 
-def convert_key(key: str, swin: bool = False) -> str:
+_CONVNEXT_MARKER = re.compile(
+    r"depthwise_conv|pointwise_conv|\.conv_dw\.|downsample_layers\.")
+
+
+def convert_key(key: str, swin: bool = False,
+                convnext: bool = False) -> str:
     key = re.sub(r"^module\.", "", key)
     if swin:
         key = _FINAL_NORM.sub("norm3.", key)
+    if convnext:
+        for pattern, repl in CONVNEXT_RULES:
+            key = pattern.sub(repl, key)
     for pattern, repl in RENAME_RULES:
         key = pattern.sub(repl, key)
     return key
@@ -121,6 +159,12 @@ def convert_tensor(key: str, t) -> np.ndarray:
     arr = np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
     if key.endswith(".weight") and arr.ndim == 4:
         return np.ascontiguousarray(arr.transpose(2, 3, 1, 0))  # OIHW→HWIO
+    if arr.ndim == 2 and (key.endswith("pwconv1.weight")
+                          or key.endswith("pwconv2.weight")):
+        # upstream ConvNeXt pointwise layers are Linear (out,in); ours are
+        # 1x1 convs with HWIO kernels
+        out_c, in_c = arr.shape
+        return np.ascontiguousarray(arr.T).reshape(1, 1, in_c, out_c)
     if arr.ndim == 2 and key.endswith(".weight"):
         return np.ascontiguousarray(arr.T)
     return arr
@@ -128,14 +172,15 @@ def convert_tensor(key: str, t) -> np.ndarray:
 
 def convert_state_dict(torch_sd: dict) -> dict:
     out = {}
-    swin = any(_SWIN_MARKER.search(k) for k in torch_sd)
+    convnext = any(_CONVNEXT_MARKER.search(k) for k in torch_sd)
+    swin = not convnext and any(_SWIN_MARKER.search(k) for k in torch_sd)
     for key, value in torch_sd.items():
         if key.endswith(("num_batches_tracked", "relative_position_index",
                          "attn_mask")):
             continue  # buffers our modules derive statically
         # transpose decisions use the CONVERTED key so fused projections
         # that torch names `in_proj_weight` (→ `qkv.weight`) transpose too
-        new_key = convert_key(key, swin=swin)
+        new_key = convert_key(key, swin=swin, convnext=convnext)
         out[new_key] = convert_tensor(new_key, value)
     return out
 
