@@ -314,3 +314,83 @@ def test_mmpretrain_convnext_checkpoint_roundtrips(tmp_path):
 
 def test_timm_convnext_checkpoint_roundtrips(tmp_path):
     _convnext_roundtrip(_timm_convnext_sd, tmp_path)
+
+
+# ------------------------------------------------------------ MiT (SegFormer)
+def _mit_and_params():
+    from image_segmentation_lab_tpu.core.fileio import load_python_config
+    cfg = load_python_config(
+        "configs/network/segformer/segformer_mit-b0.py")["model"]["backbone"]
+    m = build_module_from_cfg(cfg, BACKBONE)
+    v = m.init({"params": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1)}, jnp.zeros((1, 64, 64, 3)))
+    flat = {".".join(k): np.asarray(le) for k, le in
+            flax.traverse_util.flatten_dict(v["params"]).items()}
+    return m, v, flat
+
+
+def _mmseg_mit_sd(flat):
+    """Inverse-map our MiT tree into mmseg MixVisionTransformer naming:
+    4-level layers.N.{0,1.M,2}, fused nn.MultiheadAttention in_proj
+    (rows [q;k;v]), Linear out_proj, MixFFN Conv2d stack indices."""
+    sd = {}
+    fused = {}
+    for key, arr in flat.items():
+        tk = key
+        for i in range(4):
+            tk = tk.replace(f"patch_embed{i + 1}_proj.",
+                            f"layers.{i}.0.projection.")
+            tk = tk.replace(f"patch_embed{i + 1}_norm.",
+                            f"layers.{i}.0.norm.")
+            for j in range(30):
+                tk = tk.replace(f"stage{i + 1}_block{j + 1}.",
+                                f"layers.{i}.1.{j}.")
+        for i in range(4):
+            if tk.startswith(f"norm{i + 1}."):
+                tk = f"layers.{i}.2." + tk[len(f"norm{i + 1}."):]
+        tk = tk.replace(".attn.sr_norm.", ".attn.norm.")
+        tk = tk.replace(".ffn.fc1.", ".ffn.layers.0.")
+        tk = tk.replace(".ffn.pe_conv.", ".ffn.layers.1.")
+        tk = tk.replace(".ffn.fc2.", ".ffn.layers.4.")
+        if ".attn.q." in tk or ".attn.kv." in tk:
+            fused.setdefault(tk.split(".attn.")[0], {})[
+                tk.split(".attn.")[1]] = (key, arr)
+            continue
+        if ".attn.proj." in tk and arr.ndim == 4:
+            h, w, cin, cout = arr.shape
+            sd[tk.replace(".attn.proj.", ".attn.attn.out_proj.")] = \
+                _t(arr.reshape(cin, cout).T)
+            continue
+        if ".attn.proj." in tk:
+            sd[tk.replace(".attn.proj.", ".attn.attn.out_proj.")] = _t(arr)
+            continue
+        if arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)
+        elif arr.ndim == 2 and key.endswith(".weight"):
+            arr = arr.T
+        sd[tk] = _t(arr)
+    for base, parts in fused.items():
+        qw = parts["q.weight"][1]
+        kvw = parts["kv.weight"][1]
+        C = qw.shape[2]
+        w = np.concatenate(
+            [qw.reshape(C, C).T, kvw.reshape(C, 2 * C).T], axis=0)
+        sd[base + ".attn.attn.in_proj_weight"] = _t(w)
+        b = np.concatenate([parts["q.bias"][1], parts["kv.bias"][1]])
+        sd[base + ".attn.attn.in_proj_bias"] = _t(b)
+    return sd
+
+
+def test_mmseg_mit_checkpoint_roundtrips(tmp_path):
+    m, v, flat = _mit_and_params()
+    converted = convert_state_dict(_mmseg_mit_sd(flat))
+    path = tmp_path / "mit.pth"
+    with open(path, "wb") as f:
+        pickle.dump({"metadata": {}, "state_dict": converted}, f)
+    loaded, _ = load_checkpoint(jax.tree.map(jnp.zeros_like, v), path,
+                                strict=True, logger=None)
+    got = {".".join(k): np.asarray(le) for k, le in
+           flax.traverse_util.flatten_dict(loaded["params"]).items()}
+    assert set(got) == set(flat)
+    for key in flat:
+        np.testing.assert_array_equal(got[key], flat[key], err_msg=key)

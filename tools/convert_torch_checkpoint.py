@@ -29,7 +29,12 @@ naming and layout so ``--load-from`` / ``PretrainedInit`` work:
   mmpretrain/mmseg ``downsample_layers``/``depthwise_conv``/
   ``pointwise_conv*``) map onto the ``stem_*``/``downsample{i}_*``/
   ``stage{i}_block{j}`` tree, with the Linear pointwise layers reshaped
-  to our 1x1-conv HWIO kernels.
+  to our 1x1-conv HWIO kernels;
+* upstream SegFormer/MiT checkpoints (mmseg MixVisionTransformer:
+  4-level ``layers.N.{0,1.M,2}``) map onto the 1-indexed
+  ``patch_embed{i}_*`` / ``stage{i}_block{j}`` / ``norm{i}`` tree; the
+  fused ``in_proj_weight`` splits into our ``q``/``kv`` 1x1 convs and
+  ``out_proj`` reshapes to the ``proj`` conv.
 
 Usage:
     python tools/convert_torch_checkpoint.py in.pth out.pth
@@ -140,6 +145,65 @@ _FINAL_NORM = re.compile(r"^norm\.|(?<=backbone\.)norm\.")
 
 _CONVNEXT_MARKER = re.compile(
     r"depthwise_conv|pointwise_conv|\.conv_dw\.|downsample_layers\.")
+# mmseg MixVisionTransformer: 4-level layers.N.{0: patch embed, 1.M:
+# blocks, 2: out norm}; EfficientMultiheadAttention carries `.attn.sr.`
+_MIT_MARKER = re.compile(r"\blayers\.\d+\.1\.\d+\.")
+
+
+def _convert_mit_key(key: str) -> str:
+    """mmseg MixVisionTransformer names → our 1-indexed MiT tree."""
+    key = re.sub(r"^module\.", "", key)
+    key = re.sub(r"\blayers\.(\d+)\.0\.projection\.",
+                 lambda m: f"patch_embed{int(m.group(1)) + 1}_proj.", key)
+    key = re.sub(r"\blayers\.(\d+)\.0\.norm\.",
+                 lambda m: f"patch_embed{int(m.group(1)) + 1}_norm.", key)
+    key = re.sub(
+        r"\blayers\.(\d+)\.1\.(\d+)\.",
+        lambda m: (f"stage{int(m.group(1)) + 1}"
+                   f"_block{int(m.group(2)) + 1}."), key)
+    key = re.sub(r"\blayers\.(\d+)\.2\.",
+                 lambda m: f"norm{int(m.group(1)) + 1}.", key)
+    key = key.replace(".attn.attn.out_proj.", ".attn.proj.")
+    key = key.replace(".attn.norm.", ".attn.sr_norm.")
+    key = key.replace(".ffn.layers.0.", ".ffn.fc1.")
+    key = key.replace(".ffn.layers.1.", ".ffn.pe_conv.")
+    key = key.replace(".ffn.layers.4.", ".ffn.fc2.")
+    return key
+
+
+def _to_1x1(arr: np.ndarray) -> np.ndarray:
+    out_c, in_c = arr.shape  # torch Linear (out,in) → our (1,1,in,out)
+    return np.ascontiguousarray(arr.T).reshape(1, 1, in_c, out_c)
+
+
+def _convert_mit_state_dict(torch_sd: dict) -> dict:
+    """mmseg MiT: fused nn.MultiheadAttention in_proj splits into our q /
+    kv 1x1 convs ([k|v] column order = torch's [q;k;v] row packing);
+    out_proj becomes the 1x1 proj conv; MixFFN's Conv2d layers and the
+    depthwise positional conv ride the generic OIHW→HWIO transpose."""
+    out = {}
+    for key, value in torch_sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        arr = np.asarray(value.detach().cpu().numpy()
+                         if hasattr(value, "detach") else value)
+        new_key = _convert_mit_key(key)
+        if new_key.endswith(".attn.attn.in_proj_weight"):
+            base = new_key[:-len("attn.in_proj_weight")]
+            C = arr.shape[1]
+            out[base + "q.weight"] = _to_1x1(arr[:C])
+            out[base + "kv.weight"] = _to_1x1(arr[C:])
+        elif new_key.endswith(".attn.attn.in_proj_bias"):
+            base = new_key[:-len("attn.in_proj_bias")]
+            C = arr.shape[0] // 3
+            out[base + "q.bias"] = np.ascontiguousarray(arr[:C])
+            out[base + "kv.bias"] = np.ascontiguousarray(arr[C:])
+        elif (new_key.endswith(".attn.proj.weight")
+              and arr.ndim == 2):
+            out[new_key] = _to_1x1(arr)
+        else:
+            out[new_key] = convert_tensor(new_key, arr)
+    return out
 
 
 def convert_key(key: str, swin: bool = False,
@@ -171,6 +235,9 @@ def convert_tensor(key: str, t) -> np.ndarray:
 
 
 def convert_state_dict(torch_sd: dict) -> dict:
+    if any(_MIT_MARKER.search(k) for k in torch_sd) and \
+            any(".attn.sr." in k or ".ffn.layers." in k for k in torch_sd):
+        return _convert_mit_state_dict(torch_sd)
     out = {}
     convnext = any(_CONVNEXT_MARKER.search(k) for k in torch_sd)
     swin = not convnext and any(_SWIN_MARKER.search(k) for k in torch_sd)
