@@ -1,5 +1,6 @@
 """Standard-benchmark dataset classes (ADE20K, VOC, COCO-Stuff, LoveDA,
-Potsdam, Vaihingen, iSAID, STARE).
+Potsdam, Vaihingen, iSAID, and the retinal-vessel sets STARE, DRIVE,
+CHASE_DB1, HRF).
 
 The reference only ships Kvasir (+ an orphaned cityscapes config) but its
 evaluation tables cover ten datasets (core/evaluation/class_names.py);
@@ -119,5 +120,43 @@ class STAREDataset(CustomDataset):
 
     def __init__(self, img_suffix=".png", seg_map_suffix=".ah.png",
                  **kwargs):
+        super().__init__(img_suffix=img_suffix,
+                         seg_map_suffix=seg_map_suffix, **kwargs)
+
+
+@DATASET.register()
+class DRIVEDataset(CustomDataset):
+    """DRIVE retinal vessels: binary fg/bg, ``_manual1.png`` annotations."""
+
+    CLASSES = tuple(get_classes("drive"))
+    PALETTE = get_palette("drive")
+
+    def __init__(self, img_suffix=".png", seg_map_suffix="_manual1.png",
+                 **kwargs):
+        super().__init__(img_suffix=img_suffix,
+                         seg_map_suffix=seg_map_suffix, **kwargs)
+
+
+@DATASET.register()
+class ChaseDB1Dataset(CustomDataset):
+    """CHASE_DB1 retinal vessels: binary fg/bg, ``_1stHO.png`` annotations."""
+
+    CLASSES = tuple(get_classes("chase_db1"))
+    PALETTE = get_palette("chase_db1")
+
+    def __init__(self, img_suffix=".png", seg_map_suffix="_1stHO.png",
+                 **kwargs):
+        super().__init__(img_suffix=img_suffix,
+                         seg_map_suffix=seg_map_suffix, **kwargs)
+
+
+@DATASET.register()
+class HRFDataset(CustomDataset):
+    """HRF retinal vessels: binary fg/bg, plain ``.png`` annotations."""
+
+    CLASSES = tuple(get_classes("hrf"))
+    PALETTE = get_palette("hrf")
+
+    def __init__(self, img_suffix=".png", seg_map_suffix=".png", **kwargs):
         super().__init__(img_suffix=img_suffix,
                          seg_map_suffix=seg_map_suffix, **kwargs)

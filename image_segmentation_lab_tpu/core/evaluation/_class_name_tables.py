@@ -39,6 +39,18 @@ DATASET_TABLES = {
         "classes": ['background', 'vessel'],
         "palette": [[120, 120, 120], [6, 230, 230]],
     },
+    'drive': {
+        "classes": ['background', 'vessel'],
+        "palette": [[120, 120, 120], [6, 230, 230]],
+    },
+    'chase_db1': {
+        "classes": ['background', 'vessel'],
+        "palette": [[120, 120, 120], [6, 230, 230]],
+    },
+    'hrf': {
+        "classes": ['background', 'vessel'],
+        "palette": [[120, 120, 120], [6, 230, 230]],
+    },
     'vaihingen': {
         "classes": ['impervious_surface', 'building', 'low_vegetation', 'tree', 'car', 'clutter'],
         "palette": [[255, 255, 255], [0, 0, 255], [0, 255, 255], [0, 255, 0], [255, 255, 0], [255, 0, 0]],

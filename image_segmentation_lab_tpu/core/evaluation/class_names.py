@@ -25,6 +25,9 @@ dataset_aliases = {
     "vaihingen": ["vaihingen"],
     "isaid": ["isaid"],
     "stare": ["stare", "STARE"],
+    "drive": ["drive", "DRIVE"],
+    "chase_db1": ["chase_db1", "chasedb1", "CHASE_DB1"],
+    "hrf": ["hrf", "HRF"],
     "occludedface": ["occludedface"],
 }
 

@@ -228,7 +228,8 @@ def test_benchmark_dataset_classes_registered(tmp_path):
     from image_segmentation_lab_tpu.core.builder import DATASET, build_from_cfg
 
     for name in ("COCOStuffDataset", "LoveDADataset", "PotsdamDataset",
-                 "VaihingenDataset", "iSAIDDataset", "STAREDataset"):
+                 "VaihingenDataset", "iSAIDDataset", "STAREDataset",
+                 "DRIVEDataset", "ChaseDB1Dataset", "HRFDataset"):
         assert name in DATASET
 
     import inspect
@@ -245,6 +246,12 @@ def test_benchmark_dataset_classes_registered(tmp_path):
     assert default(STAREDataset, "seg_map_suffix") == ".ah.png"
     assert len(COCOStuffDataset.CLASSES) == 171
     assert len(iSAIDDataset.CLASSES) == 16
+
+    from image_segmentation_lab_tpu.core.dataset import (ChaseDB1Dataset,
+                                                         DRIVEDataset)
+    assert default(DRIVEDataset, "seg_map_suffix") == "_manual1.png"
+    assert default(ChaseDB1Dataset, "seg_map_suffix") == "_1stHO.png"
+    assert DRIVEDataset.CLASSES == ("background", "vessel")
 
     # Potsdam end-to-end: ids shift down by one, raw 0 → ignore.
     img_dir, ann_dir = tmp_path / "img", tmp_path / "ann"
