@@ -48,13 +48,20 @@ _flash_disabled = 0
 def no_flash():
     """Disable the flash kernel for code traced inside this context.
 
-    A Mosaic (Pallas) kernel cannot be automatically partitioned inside a
-    multi-device jit (GSPMD raises NotImplementedError at lowering — the
-    same constraint that forces the jnp path in
-    ``parallel/mesh.py::make_sharded_metric_eval_step``).  Every sharded
-    step builder traces its body under this context so transformer
-    models stay partitionable; the path choice happens at trace time, so
-    a Python-level flag is sufficient.
+    The kernel IS multi-device safe — its ``custom_partitioning`` rule
+    (``ops/pallas/flash_attention.py``) runs one independent kernel per
+    shard whenever the folded (batch x heads) dim is the sharded one, so
+    batch-sharded programs (DP / ZeRO / FSDP / EP / window-sharded
+    slide) keep it.  This context remains for the programs where the
+    rule's dim-0-only contract would FORCE replication of a
+    deliberately sharded dim — the partitioner would insert an
+    all-gather of tokens (spatial sharding: L derives from the
+    H-sharded image) or heads (tensor parallelism: qkv output dim over
+    'model') before every attention, trading the kernel's HBM win for
+    ICI traffic and per-chip memory.  Those builders trace under this
+    context and keep the einsum path, which GSPMD shards natively.  The
+    path choice happens at trace time, so a Python-level flag is
+    sufficient.
     """
     global _flash_disabled
     _flash_disabled += 1

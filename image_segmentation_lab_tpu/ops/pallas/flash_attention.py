@@ -294,6 +294,99 @@ def _flash_backward(q, k, v, o, lse, do, scale, block_q, block_k, interpret):
 
 
 # ---------------------------------------------------------------------------
+# SPMD partitioning (GSPMD / Shardy): batch-parallel custom rule
+# ---------------------------------------------------------------------------
+#
+# A Mosaic kernel has no automatic SPMD partitioning — inside a
+# multi-device jit the partitioner would fail at lowering.  But this
+# kernel is embarrassingly parallel over its folded (batch x heads) dim:
+# grid axis 0 is "parallel" and no block ever reads across it.  These
+# ``custom_partitioning`` wrappers state exactly that contract — dim 0
+# may be sharded arbitrarily, every other dim must be replicated — so
+# batch-sharded programs (DP / FSDP / ZeRO / EP / spatial) run one
+# independent kernel per shard with ZERO attention communication, and
+# any operand sharded along a non-batch dim is first reshard-gathered by
+# the partitioner (correct, never wrong — just not communication-free;
+# tensor-parallel keeps the einsum path instead, see parallel/tensor.py).
+# The ``sharding_rule`` carries the same statement to the Shardy
+# propagator (factor ``b`` passes through; all others need replication).
+# Forward and backward are wrapped separately because they sit inside a
+# ``custom_vjp`` (autodiff never sees the partitioned calls).
+
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec
+
+
+def _dim0_axes(arg_shapes):
+    """Mesh axes sharding dim 0 of the first operand that has any."""
+    for s in arg_shapes:
+        spec = getattr(s.sharding, "spec", None)
+        if spec is not None and len(spec) and spec[0] is not None:
+            return spec[0]
+    return None
+
+
+def _shard0(mesh, axes, rank):
+    """NamedSharding: dim 0 over ``axes``, all other dims replicated."""
+    return NamedSharding(mesh, PartitionSpec(axes, *([None] * (rank - 1))))
+
+
+def _make_batch_partition(impl):
+    """(partition, infer) callbacks declaring dim-0-only sharding for
+    ``impl``; static kernel params arrive prepended by jax."""
+
+    def partition(scale, block_q, block_k, interpret, mesh, arg_shapes,
+                  result_shape):
+        axes = _dim0_axes(arg_shapes)
+        arg_sh = tuple(_shard0(mesh, axes, len(s.shape)) for s in arg_shapes)
+        res_sh = jax.tree_util.tree_map(
+            lambda s: _shard0(mesh, axes, len(s.shape)), result_shape)
+
+        def lower_fn(*args):  # traced with the per-shard shapes
+            return impl(*args, scale, block_q, block_k, interpret)
+
+        return mesh, lower_fn, res_sh, arg_sh
+
+    def infer(scale, block_q, block_k, interpret, mesh, arg_shapes,
+              result_shape):
+        axes = _dim0_axes(arg_shapes)
+        return jax.tree_util.tree_map(
+            lambda s: _shard0(mesh, axes, len(s.shape)), result_shape)
+
+    return partition, infer
+
+
+@functools.partial(custom_partitioning, static_argnums=(3, 4, 5, 6))
+def _flash_fwd_spmd(q, k, v, scale, block_q, block_k, interpret):
+    return _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+
+
+_p, _i = _make_batch_partition(_flash_forward)
+_flash_fwd_spmd.def_partition(
+    partition=_p, infer_sharding_from_operands=_i,
+    # lse keeps its PADDED length (same on every shard: Lq is replicated)
+    sharding_rule="b q d, b k d, b k d -> b q d, b u qp",
+    # NB: must be listed in first-appearance order (the Shardy verifier
+    # rejects unsorted special-factor indices)
+    need_replication_factors=("q", "d", "k", "u", "qp"))
+
+
+@functools.partial(custom_partitioning, static_argnums=(6, 7, 8, 9))
+def _flash_bwd_spmd(q, k, v, o, lse, do, scale, block_q, block_k, interpret):
+    return _flash_backward(q, k, v, o, lse, do, scale, block_q, block_k,
+                           interpret)
+
+
+_p, _i = _make_batch_partition(_flash_backward)
+_flash_bwd_spmd.def_partition(
+    partition=_p, infer_sharding_from_operands=_i,
+    sharding_rule=("b q d, b k d, b k d, b q d, b u qp, b q d "
+                   "-> b q d, b k d, b k d"),
+    need_replication_factors=("q", "d", "k", "u", "qp"))
+del _p, _i
+
+
+# ---------------------------------------------------------------------------
 # custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
@@ -302,18 +395,18 @@ def _flash_backward(q, k, v, o, lse, do, scale, block_q, block_k, interpret):
 def flash_attention(q, k, v, scale: float, block_q: int = 256,
                     block_k: int = 256, interpret: bool = False):
     """softmax(q k^T * scale) v, fused; q (B, Lq, d), k/v (B, Lk, d)."""
-    o, _ = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+    o, _ = _flash_fwd_spmd(q, k, v, scale, block_q, block_k, interpret)
     return o
 
 
 def _fwd_rule(q, k, v, scale, block_q, block_k, interpret):
-    o, lse = _flash_forward(q, k, v, scale, block_q, block_k, interpret)
+    o, lse = _flash_fwd_spmd(q, k, v, scale, block_q, block_k, interpret)
     return o, (q, k, v, o, lse)
 
 
 def _bwd_rule(scale, block_q, block_k, interpret, res, do):
     q, k, v, o, lse = res
-    return _flash_backward(q, k, v, o, lse, do, scale, block_q, block_k,
+    return _flash_bwd_spmd(q, k, v, o, lse, do, scale, block_q, block_k,
                            interpret)
 
 

@@ -87,13 +87,12 @@ def make_ep_train_step(model, tx, mesh: Mesh, state,
     """2-D (data x expert) train step: batch over ``data_axis``, MoE
     expert stacks over ``expert_axis``; in/out shardings pin the layout
     across steps."""
-    from ..ops.attention import without_flash
     from ..train_state import build_train_step_fn
 
     rep = replicated(mesh)
     data = batch_sharding(mesh, data_axis)
     state_sh = ep_shardings(state, mesh, rules, expert_axis)
-    return jax.jit(without_flash(build_train_step_fn(model, tx, None)),
+    return jax.jit(build_train_step_fn(model, tx, None),
                    in_shardings=(state_sh, data, data, rep),
                    out_shardings=(state_sh, rep),
                    donate_argnums=(0,) if donate else ())
@@ -102,13 +101,11 @@ def make_ep_train_step(model, tx, mesh: Mesh, state,
 def make_ep_eval_step(model, mesh: Mesh, variables,
                       rules: Sequence[str] = MOE_EP_RULES,
                       data_axis: str = "data", expert_axis: str = "expert"):
-    from ..ops.attention import without_flash
-
     data = batch_sharding(mesh, data_axis)
     var_sh = ep_shardings(variables, mesh, rules, expert_axis)
 
     def eval_step(variables, img):
         return model.apply(variables, img, method="inference")
 
-    return jax.jit(without_flash(eval_step),
+    return jax.jit(eval_step,
                    in_shardings=(var_sh, data), out_shardings=data)

@@ -53,13 +53,12 @@ def make_fsdp_train_step(model, tx, mesh: Mesh, state,
     pin the parameter shards so they never collapse back to replicated
     between steps.
     """
-    from ..ops.attention import without_flash
     from ..train_state import build_train_step_fn
 
     rep = replicated(mesh)
     data = batch_sharding(mesh, axis)
     state_sh = fsdp_state_shardings(state, mesh, axis)
-    return jax.jit(without_flash(build_train_step_fn(model, tx, None)),
+    return jax.jit(build_train_step_fn(model, tx, None),
                    in_shardings=(state_sh, data, data, rep),
                    out_shardings=(state_sh, rep),
                    donate_argnums=(0,) if donate else ())
@@ -68,8 +67,6 @@ def make_fsdp_train_step(model, tx, mesh: Mesh, state,
 def make_fsdp_eval_step(model, mesh: Mesh, state, axis: str = "data"):
     """Whole-image eval logits with FSDP-sharded params (weights gather
     per layer; activations stay batch-sharded)."""
-    from ..ops.attention import without_flash
-
     rep = replicated(mesh)
     data = batch_sharding(mesh, axis)
     state_sh = fsdp_state_shardings(state, mesh, axis)
@@ -77,7 +74,7 @@ def make_fsdp_eval_step(model, mesh: Mesh, state, axis: str = "data"):
     def eval_fn(state, img):
         return model.apply(state.variables(), img, method="encode_decode")
 
-    return jax.jit(without_flash(eval_fn),
+    return jax.jit(eval_fn,
                    in_shardings=(state_sh, data), out_shardings=data)
 
 

@@ -88,7 +88,6 @@ def make_sharded_train_step(model, tx, mesh: Mesh, axis: str = "data",
       per-chip batch), but a different (equally valid) random stream than
       single-device execution.  Use for production multi-chip throughput.
     """
-    from ..ops.attention import without_flash
     from ..train_state import build_train_step_fn
 
     rep = replicated(mesh)
@@ -115,10 +114,11 @@ def make_sharded_train_step(model, tx, mesh: Mesh, axis: str = "data",
             return base_step(state, img, gt, step_rng)
     else:
         train_step = build_train_step_fn(model, tx, pipeline)
-    # Mosaic kernels cannot be partitioned inside a multi-device jit —
-    # trace every sharded body with the flash-attention path disabled
+    # the flash-attention kernel stays ENABLED here: its
+    # custom_partitioning rule runs one kernel per batch shard with zero
+    # attention communication (ops/pallas/flash_attention.py)
     return jax.jit(
-        without_flash(train_step),
+        train_step,
         in_shardings=(rep, data, data, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,) if donate else ())
@@ -168,6 +168,9 @@ def make_spatial_sharded_train_step(model, tx, mesh: Mesh,
 
     rep = replicated(mesh)
     data = spatial_sharding(mesh, data_axis, space_axis)
+    # einsum attention here: under an H-sharding the token dim is the
+    # sharded one, and the flash kernel's dim-0-only partition rule
+    # would all-gather it (see ops/attention.py::no_flash)
     return jax.jit(
         without_flash(build_train_step_fn(model, tx, None)),
         in_shardings=(rep, data, data, rep),
@@ -184,6 +187,8 @@ def make_spatial_sharded_eval_step(model, mesh: Mesh,
     rep = replicated(mesh)
     data = spatial_sharding(mesh, data_axis, space_axis)
 
+    # einsum attention: the H-sharding makes tokens the sharded dim
+    # (see ops/attention.py::no_flash)
     from ..ops.attention import without_flash
 
     def eval_step(variables, img):
@@ -198,12 +203,10 @@ def make_sharded_eval_step(model, mesh: Mesh, axis: str = "data"):
     rep = replicated(mesh)
     data = batch_sharding(mesh, axis)
 
-    from ..ops.attention import without_flash
-
     def eval_step(variables, img):
         return model.apply(variables, img, method="inference")
 
-    return jax.jit(without_flash(eval_step), in_shardings=(rep, data),
+    return jax.jit(eval_step, in_shardings=(rep, data),
                    out_shardings=data)
 
 
@@ -234,6 +237,5 @@ def make_sharded_metric_eval_step(model, mesh: Mesh, num_classes: int,
         return confusion_histograms(probs, gt, num_classes, ignore_index,
                                     force="jnp")
 
-    from ..ops.attention import without_flash
-    return jax.jit(without_flash(eval_step), in_shardings=(rep, data, data),
+    return jax.jit(eval_step, in_shardings=(rep, data, data),
                    out_shardings=rep)

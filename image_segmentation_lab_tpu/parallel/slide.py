@@ -73,7 +73,6 @@ def make_multichip_slide_inference(model, mesh, axis: str = "data"):
             return jax.nn.sigmoid(preds)
         return jax.nn.softmax(preds, axis=-1)
 
-    from ..ops.attention import without_flash
-    return jax.jit(without_flash(fn),
+    return jax.jit(fn,
                    in_shardings=(replicated(mesh), replicated(mesh)),
                    out_shardings=replicated(mesh))

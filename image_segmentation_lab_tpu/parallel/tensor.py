@@ -118,6 +118,9 @@ def make_tp_train_step(model, tx, mesh: Mesh, state,
     AND output state to the TP layout, so weights never silently
     collapse to replicated between steps.
     """
+    # einsum attention: the qkv projections are head-sharded over
+    # 'model', and the flash kernel's dim-0-only partition rule would
+    # gather heads back (see ops/attention.py::no_flash)
     from ..ops.attention import without_flash
     from ..train_state import build_train_step_fn
 
@@ -137,6 +140,7 @@ def make_tp_eval_step(model, mesh: Mesh, variables,
     """(data x model) inference step; ``variables`` supplies the
     sharding pytree structure (shard the actual dict with
     ``shard_state_tp`` before calling the step)."""
+    # einsum attention — heads are model-sharded (see make_tp_train_step)
     from ..ops.attention import without_flash
 
     data = batch_sharding(mesh, data_axis)

@@ -63,13 +63,12 @@ def make_zero1_train_step(model, tx, mesh: Mesh, state,
     ``state`` supplies the sharding structure; input AND output state pin
     the optimizer shards so they never collapse back to replicated.
     """
-    from ..ops.attention import without_flash
     from ..train_state import build_train_step_fn
 
     rep = replicated(mesh)
     data = batch_sharding(mesh, axis)
     state_sh = zero1_state_shardings(state, mesh, axis)
-    return jax.jit(without_flash(build_train_step_fn(model, tx, None)),
+    return jax.jit(build_train_step_fn(model, tx, None),
                    in_shardings=(state_sh, data, data, rep),
                    out_shardings=(state_sh, rep),
                    donate_argnums=(0,) if donate else ())

@@ -146,3 +146,59 @@ def test_no_flash_context_forces_einsum(rng, monkeypatch):
     with attention.no_flash():
         out = attention.multihead_attention(q, q, q, 0.5)
     assert out.shape == q.shape
+
+
+# ---------------------------------------------------------------------------
+# SPMD: the kernel's custom_partitioning rule (batch-sharded multi-device)
+# ---------------------------------------------------------------------------
+
+
+def test_flash_spmd_batch_sharded_fwd_grad_no_gather(rng):
+    """Batch-sharded jit over the 8-device mesh: the custom_partitioning
+    rule must run one kernel per shard — values AND gradients match the
+    einsum path, and the compiled HLO contains no all-gather (the whole
+    point: zero attention communication under DP/FSDP/ZeRO/EP)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from image_segmentation_lab_tpu.parallel import get_mesh
+
+    mesh = get_mesh(8)
+    data = NamedSharding(mesh, P("data"))
+    B, Lq, Lk, d = 16, 70, 37, 32
+    q = jax.device_put(jnp.asarray(rng.randn(B, Lq, d), jnp.float32), data)
+    k = jax.device_put(jnp.asarray(rng.randn(B, Lk, d), jnp.float32), data)
+    v = jax.device_put(jnp.asarray(rng.randn(B, Lk, d), jnp.float32), data)
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_flash(q, k, v):
+        return (flash_attention(q, k, v, scale, 32, 32, True) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_naive(q, k, v, scale) ** 2).sum()
+
+    gf = jax.jit(jax.value_and_grad(loss_flash, argnums=(0, 1, 2)),
+                 in_shardings=(data, data, data))
+    lf, gradsf = gf(q, k, v)
+    lr, gradsr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
+        *map(jax.device_get, (q, k, v)))
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5)
+    for a, b, name in zip(gradsf, gradsr, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(np.asarray(jax.device_get(a)),
+                                   np.asarray(b), atol=2e-5, rtol=1e-4,
+                                   err_msg=name)
+    hlo = gf.lower(q, k, v).compile().as_text()
+    assert "all-gather" not in hlo, "partition rule resharded the batch dim"
+
+
+def test_flash_spmd_single_device_jit_unchanged(rng):
+    """The custom_partitioning wrapper must be a no-op in a plain
+    (unsharded) jit — the single-chip bench path."""
+    B, L, d = 2, 70, 32
+    q = jnp.asarray(rng.randn(B, L, d), jnp.float32)
+    k = jnp.asarray(rng.randn(B, L, d), jnp.float32)
+    v = jnp.asarray(rng.randn(B, L, d), jnp.float32)
+    scale = 1.0 / np.sqrt(d)
+    out = jax.jit(lambda q, k, v: flash_attention(q, k, v, scale, 32, 32,
+                                                  True))(q, k, v)
+    ref = _naive(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-6, rtol=1e-5)

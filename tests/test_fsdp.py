@@ -95,3 +95,54 @@ def test_fsdp_eval_matches_single_device(setup):
     out = eval_step(fstate, simg)
     np.testing.assert_allclose(np.asarray(jax.device_get(out)),
                                np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_fsdp_transformer_step_flash_enabled():
+    """The flash kernel stays enabled under FSDP (activations are
+    batch-sharded; the parameter all-gathers happen in the projections,
+    not inside attention): an FSDP MiT train step with the interpret
+    kernel forced must match plain single-device training."""
+    import os
+    from image_segmentation_lab_tpu.parallel.zero import _leaf_zero_sharding
+
+    cfg = dict(
+        type="EncoderDecoder",
+        backbone=dict(type="MixVisionTransformer", embed_dims=8,
+                      num_stages=2, num_layers=(1, 1), num_heads=(1, 2),
+                      patch_sizes=(7, 3), strides=(4, 2), sr_ratios=(2, 1),
+                      out_indices=(0, 1), mlp_ratio=2, drop_path_rate=0.0),
+        decode_head=dict(type="SegFormerHead", in_channels=[8, 16],
+                         in_index=(0, 1), input_transform="multiple_select",
+                         channels=8, num_classes=2, dropout_ratio=0,
+                         norm_cfg=dict(type="SyncBatchNorm",
+                                       requires_grad=True),
+                         loss_decode=dict(type="CrossEntropyLoss")),
+        test_cfg=dict(mode="whole"))
+    model = build_segmentor(cfg)
+    tx = build_optimizer(dict(type="AdamW", lr=1e-3, weight_decay=0.01))
+    r = np.random.RandomState(7)
+    img = jnp.asarray(r.randn(4, 32, 32, 3).astype(np.float32))
+    gt = jnp.asarray(r.randint(0, 2, (4, 32, 32)).astype(np.int32))
+    state = create_train_state(model, jax.random.PRNGKey(0), img[:1],
+                               gt[:1], tx)
+
+    single = make_train_step(model, tx, donate=False)
+    s1, lv1 = single(state, img, gt, jax.random.PRNGKey(5))  # einsum trace
+
+    os.environ["ISLT_FLASH_ATTN_FORCE"] = "interpret"
+    try:
+        mesh = get_mesh(4, axis_names=("data",))
+        fstate = shard_state_fsdp(state, mesh)
+        step = make_fsdp_train_step(model, tx, mesh, state, donate=False)
+        simg, sgt = shard_batch((img, gt), mesh)
+        s2, lv2 = step(fstate, simg, sgt, jax.random.PRNGKey(5))
+    finally:
+        del os.environ["ISLT_FLASH_ATTN_FORCE"]
+
+    np.testing.assert_allclose(float(lv1["loss"]), float(lv2["loss"]),
+                               rtol=2e-4)
+    a = jax.tree_util.tree_leaves(s1.params)
+    b = jax.tree_util.tree_leaves(jax.device_get(s2.params))
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=1e-4, rtol=1e-3)
