@@ -208,7 +208,8 @@ def make_tta_step(model, scales=(0.75, 1.0, 1.25)):
 
 
 def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None,
-                   mesh=None, batch_axes: Tuple[str, ...] = ("data",)):
+                   mesh=None, batch_axes: Tuple[str, ...] = ("data",),
+                   state_shardings=None):
     """Jitted validation step: losses + per-head evaluator-ready scores.
 
     Mirrors ``validate_one_epoch``'s per-batch model call
@@ -226,6 +227,11 @@ def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None,
     ``batch_axes=('data', 'space')`` additionally shards image height over
     the second mesh axis (the 2-D-mesh analog — per-chip eval activations
     then scale down exactly like the spatial train step's).
+
+    ``state_shardings`` (a TrainState-shaped sharding pytree) pins the
+    state inputs for the model-parallel CLI modes — TP keeps the
+    projections sharded over 'model' and FSDP/ZeRO keep their shards
+    resident instead of re-replicating the state every validation pass.
     """
     thr = head_threshold(model)
 
@@ -247,5 +253,6 @@ def make_eval_step(model, rescale_size: Optional[Tuple[int, int]] = None,
     from .parallel.mesh import replicated
     rep = replicated(mesh)
     data = NamedSharding(mesh, PartitionSpec(*batch_axes))
-    return jax.jit(eval_step, in_shardings=(rep, data, data),
+    state_sh = state_shardings if state_shardings is not None else rep
+    return jax.jit(eval_step, in_shardings=(state_sh, data, data),
                    out_shardings=(data, rep))

@@ -72,6 +72,23 @@ def parse_args():
                              "pipeline per-chip under shard_map (zero aug "
                              "ICI traffic; different-but-equivalent random "
                              "stream vs single-device)")
+    parser.add_argument("--tp-shards", type=int, default=1,
+                        help="Megatron-style tensor parallelism for the "
+                             "transformer families: shard the qkv/fc "
+                             "projections over a second mesh axis "
+                             "('model') — a (devices/N, N) data×model "
+                             "mesh; per-chip transformer weights and "
+                             "activations scale down with N")
+    parser.add_argument("--fsdp", action="store_true",
+                        help="fully-sharded data parallelism (ZeRO-3): "
+                             "every parameter and optimizer moment is "
+                             "sharded over the data axis; per-chip param"
+                             "+moment memory approaches 1/devices")
+    parser.add_argument("--zero1", action="store_true",
+                        help="ZeRO-1: shard the optimizer moments over "
+                             "the data axis (params stay replicated); "
+                             "for Adam this cuts per-chip state memory "
+                             "~3x on large models")
     parser.add_argument("--local_rank", type=int, default=0)
     return parser.parse_args()
 
@@ -257,16 +274,31 @@ def main():
     # cross-replica BN statistics inserted by XLA (SURVEY.md §2.9)
     n_devices = jax.device_count()
     aug_pipeline = train_dataset.device_pipeline  # fused into the step
-    if args.space_shards > 1 and n_devices == 1:
+    modes_on = [name for name, on in (
+        ("--space-shards", args.space_shards > 1),
+        ("--tp-shards", args.tp_shards > 1),
+        ("--fsdp", args.fsdp), ("--zero1", args.zero1)) if on]
+    if len(modes_on) > 1:
+        raise SystemExit(f"{' and '.join(modes_on)} cannot be combined — "
+                         "pick one parallelism layout (each already "
+                         "composes with data parallelism)")
+    if modes_on and n_devices == 1:
         raise SystemExit(
-            f"--space-shards {args.space_shards} needs more than one "
-            "device (found 1) — spatial partitioning would silently be "
-            "a no-op")
+            f"{modes_on[0]} needs more than one device (found 1) — the "
+            "partitioning would silently be a no-op")
+    if modes_on and modes_on[0] != "--space-shards" and args.aug_shard_local:
+        raise SystemExit(
+            f"--aug-shard-local is not supported with {modes_on[0]}: "
+            "augmentation there runs as its own batch-sharded program "
+            "ahead of the partitioned step")
     if args.space_shards > 1 and args.aug_shard_local:
         raise SystemExit(
             "--aug-shard-local is not supported with --space-shards: "
             "augmentation there runs as its own batch-sharded program "
             "ahead of the spatially partitioned step")
+    # eval-path layout descriptors, overridden per branch below
+    eval_state_shardings = None
+    eval_no_flash = False
     if n_devices > 1 and args.space_shards > 1:
         # 2-D (data × space) mesh: batch over 'data' AND image height over
         # 'space' — per-chip activation memory scales down with the space
@@ -315,6 +347,95 @@ def main():
 
         print(f"2-D data×space parallel over {n_devices} devices "
               f"(space={args.space_shards}): {mesh}")
+    elif n_devices > 1 and args.tp_shards > 1:
+        # 2-D (data × model) mesh: Megatron-style tensor parallelism for
+        # the transformer projections (parallel/tensor.py) composed with
+        # data parallelism over the remaining devices.  Attention keeps
+        # the einsum path (heads are model-sharded; see
+        # ops/attention.py::no_flash).  The fused aug pipeline runs as
+        # its own batch-sharded program ahead of the step, same rng plan
+        # as the fused step.
+        from image_segmentation_lab_tpu.parallel import (
+            batch_sharding, get_mesh, make_tp_train_step, replicated,
+            shard_batch, shard_state_tp, tp_shardings)
+        if n_devices % args.tp_shards:
+            raise SystemExit(
+                f"--tp-shards {args.tp_shards} must divide the device "
+                f"count {n_devices}")
+        data_shards = n_devices // args.tp_shards
+        mesh = get_mesh(axis_names=("data", "model"),
+                        shape=(data_shards, args.tp_shards))
+        eval_state_shardings = tp_shardings(state, mesh)
+        eval_no_flash = True
+        state = shard_state_tp(state, mesh)
+        _step = make_tp_train_step(model, tx, mesh, state)
+        _aug = None
+        if aug_pipeline is not None:
+            _aug = jax.jit(
+                aug_pipeline.batched_apply,
+                in_shardings=(replicated(mesh), batch_sharding(mesh),
+                              batch_sharding(mesh)),
+                out_shardings=(batch_sharding(mesh), batch_sharding(mesh)))
+
+        def train_step(state, img, gt, rng):
+            if img.shape[0] % data_shards:
+                raise SystemExit(
+                    f"--tp-shards {args.tp_shards}: batch {img.shape[0]} "
+                    f"must divide by {data_shards} (the data axis) — "
+                    "adjust train_batch_size")
+            if _aug is not None:
+                aug_rng, rng = jax.random.split(rng)
+                img, gt = shard_batch((img, gt), mesh)
+                img, gt = _aug(aug_rng, img, gt)
+            img, gt = shard_batch((img, gt), mesh)
+            return _step(state, img, gt, rng)
+
+        print(f"2-D data×model (tensor) parallel over {n_devices} devices "
+              f"(tp={args.tp_shards}): {mesh}")
+    elif n_devices > 1 and (args.fsdp or args.zero1):
+        # parameter/optimizer-state sharding over the data axis:
+        # --fsdp = ZeRO-3 (params + moments, parallel/fsdp.py),
+        # --zero1 = moments only (parallel/zero.py).  Batch stays
+        # data-sharded; numerics match plain DP up to f32 reduction
+        # order.  The flash-attention kernel stays enabled (activations
+        # are batch-sharded).  Fused aug runs ahead of the step.
+        from image_segmentation_lab_tpu.parallel import (
+            batch_sharding, fsdp_state_shardings, get_mesh,
+            make_fsdp_train_step, make_zero1_train_step, replicated,
+            shard_batch, shard_state_fsdp, shard_state_zero1,
+            zero1_state_shardings)
+        mesh = get_mesh()
+        if args.fsdp:
+            eval_state_shardings = fsdp_state_shardings(state, mesh)
+            _step = make_fsdp_train_step(model, tx, mesh, state)
+            state = shard_state_fsdp(state, mesh)
+        else:
+            eval_state_shardings = zero1_state_shardings(state, mesh)
+            _step = make_zero1_train_step(model, tx, mesh, state)
+            state = shard_state_zero1(state, mesh)
+        _aug = None
+        if aug_pipeline is not None:
+            _aug = jax.jit(
+                aug_pipeline.batched_apply,
+                in_shardings=(replicated(mesh), batch_sharding(mesh),
+                              batch_sharding(mesh)),
+                out_shardings=(batch_sharding(mesh), batch_sharding(mesh)))
+
+        def train_step(state, img, gt, rng):
+            if img.shape[0] % n_devices:
+                raise SystemExit(
+                    f"{'--fsdp' if args.fsdp else '--zero1'}: batch "
+                    f"{img.shape[0]} must divide by the device count "
+                    f"{n_devices} — adjust train_batch_size")
+            if _aug is not None:
+                aug_rng, rng = jax.random.split(rng)
+                img, gt = shard_batch((img, gt), mesh)
+                img, gt = _aug(aug_rng, img, gt)
+            img, gt = shard_batch((img, gt), mesh)
+            return _step(state, img, gt, rng)
+
+        print(f"{'FSDP (ZeRO-3)' if args.fsdp else 'ZeRO-1'} over "
+              f"{n_devices} devices: {mesh}")
     elif n_devices > 1:
         from image_segmentation_lab_tpu.parallel import (
             get_mesh, make_sharded_train_step, replicate, shard_batch)
@@ -350,13 +471,21 @@ def main():
         # data-parallel validation (each chip scores its batch shard);
         # with --space-shards the eval batch is sharded over BOTH axes so
         # per-chip eval activations scale down like the train step's;
-        # ragged tail batches fall back to the replicated step
+        # with --tp-shards/--fsdp/--zero1 the state keeps its sharded
+        # layout (eval_state_shardings); ragged tail batches fall back
+        # to an unpinned step
         eval_sp = max(args.space_shards, 1)
         eval_axes = ("data", "space") if eval_sp > 1 else ("data",)
-        eval_data_shards = n_devices // eval_sp
+        eval_data_shards = n_devices // eval_sp // max(args.tp_shards, 1)
         _sharded_eval = make_eval_step(model, rescale_size=uniform_val,
-                                       mesh=mesh, batch_axes=eval_axes)
+                                       mesh=mesh, batch_axes=eval_axes,
+                                       state_shardings=eval_state_shardings)
         _plain_eval = make_eval_step(model, rescale_size=uniform_val)
+        if eval_no_flash:  # TP: heads are model-sharded — einsum attention
+            from image_segmentation_lab_tpu.ops.attention import \
+                without_flash
+            _sharded_eval = without_flash(_sharded_eval)
+            _plain_eval = without_flash(_plain_eval)
 
         def eval_step(state, img, gt):
             if (img.shape[0] % eval_data_shards == 0
