@@ -21,12 +21,14 @@ BEiT-pretrained weights:
 TPU shape notes: the bias table lives at the pretraining grid
 (``pretrain_img_size // patch_size``); at any other trace-time grid the
 (2g-1)x(2g-1) bias field is resampled with the separable-matmul
-bicubic.  (Divergence note: upstream resamples ONCE at checkpoint-load
-with a geometric-spacing scipy interpolation; here it happens inside
-the traced program with the framework bicubic — same field, different
-kernel, so fine-tuning from a resampled table differs numerically from
-upstream's.  Chosen because it keeps the stored table
-resolution-independent and the program static.)  The (L+1)x(L+1) gather
+bicubic.  For upstream checkpoints, the converter's ``--rel-pos-grid``
+(tools/convert_torch_checkpoint.py) applies upstream's exact
+geometric-spacing interpolation ONCE at conversion — set
+``pretrain_img_size`` to the fine-tune resolution and no trace-time
+resample runs at all.  The in-model bicubic remains only as the
+fallback for un-converted tables at a mismatched grid (keeps the
+program static; numerically different from upstream's load-time
+kernel, which is why the converter path exists).  The (L+1)x(L+1) gather
 from table to score layout is a static integer index built at trace
 time — XLA folds it into a constant gather.  Attention runs on the
 einsum path (f32 scores + bias + f32 softmax); the fused flash kernel

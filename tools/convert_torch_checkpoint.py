@@ -111,6 +111,13 @@ RENAME_RULES = [
     (re.compile(r"\blayers\.(\d+)\.ffn\.layers\.0\.0\."), r"block\1.fc1."),
     (re.compile(r"\blayers\.(\d+)\.ffn\.layers\.1\."), r"block\1.fc2."),
     (re.compile(r"^ln1\.|(?<=backbone\.)ln1\."), "norm1."),
+    # ---- upstream BEiT / MAE (mmseg naming; the timm naming rides the
+    # generic blocks.N / mlp.fc rules above) ----
+    # direct qkv Linear + q_bias/v_bias/relative_position_bias_table/proj
+    # under layers.N.attn (the fused attn.attn.in_proj mmseg-ViT case is
+    # consumed by the more specific rules above)
+    (re.compile(r"\blayers\.(\d+)\.attn\."), r"block\1.attn."),
+    (re.compile(r"\blayers\.(\d+)\.gamma_"), r"block\1.gamma_"),
     # residual stages: layer1.0.conv1 → layer1.blocks_0.conv1
     (re.compile(r"(layer\d+)\.(\d+)\."), r"\1.blocks_\2."),
     # block downsample Sequential → named fields
@@ -206,6 +213,71 @@ def _convert_mit_state_dict(torch_sd: dict) -> dict:
     return out
 
 
+def _geometric_rel_pos_resample(field: np.ndarray,
+                                dst_size: int) -> np.ndarray:
+    """Resample a (src_size², heads) BEiT relative-position bias field to
+    (dst_size², heads) with the upstream geometric-spacing cubic
+    interpolation (public BEiT fine-tune recipe, Bao et al. 2022; the
+    procedure mmseg applies at checkpoint load).
+
+    The src rows are treated as samples at *geometrically* spaced
+    offsets ±(1, 1+q, 1+q+q², …) with the ratio q chosen so the
+    outermost sample lands on the dst half-width — the pretrained
+    table's outer buckets stretch, the inner ones stay near-unit
+    spacing — then a bicubic spline is evaluated at the dst grid's
+    integer offsets.  Host-side numpy/scipy: runs once at conversion,
+    so the in-model trace-time resample can be bypassed entirely by
+    setting ``pretrain_img_size`` to the fine-tune resolution.  (The
+    pretrained table's outer buckets stretch; spline knots reproduce
+    the stored values exactly wherever src and dst offsets coincide.)
+    """
+    from scipy import interpolate
+
+    num_rows, heads = field.shape
+    src_size = int(round(np.sqrt(num_rows)))
+    assert src_size * src_size == num_rows, field.shape
+    if src_size == dst_size:
+        return field
+    # ratio q: 1 + q + … + q^(n-1) spans the dst half-width
+    left, right = 1.01, 1.5
+    n = src_size // 2
+    while right - left > 1e-6:
+        q = (left + right) / 2.0
+        if (1.0 - q ** n) / (1.0 - q) > dst_size // 2:
+            right = q
+        else:
+            left = q
+    dis, cur = [], 1.0
+    for i in range(n):
+        dis.append(cur)
+        cur += q ** (i + 1)
+    coords = np.array([-d for d in reversed(dis)] + [0.0] + dis)
+    t = dst_size // 2
+    dst_coords = np.arange(-t, t + 0.1, 1.0)
+    out = np.empty((dst_size * dst_size, heads), np.float32)
+    for h in range(heads):
+        z = field[:, h].astype(np.float64).reshape(src_size, src_size)
+        spline = interpolate.RectBivariateSpline(coords, coords, z,
+                                                 kx=3, ky=3)
+        out[:, h] = spline(dst_coords, dst_coords).reshape(-1)
+    return out
+
+
+def resample_rel_pos_tables(sd: dict, dst_grid: int) -> dict:
+    """Resample every BEiT/MAE ``relative_position_bias_table`` (shape
+    ((2g₀-1)² + 3, heads); the 3 trailing cls rows pass through) to a
+    ``dst_grid``-patch fine-tune grid, i.e. (2·dst_grid-1)² bias rows."""
+    dst_size = 2 * dst_grid - 1
+    out = {}
+    for key, arr in sd.items():
+        if key.endswith("relative_position_bias_table"):
+            field, cls_rows = arr[:-3], arr[-3:]
+            field = _geometric_rel_pos_resample(np.asarray(field), dst_size)
+            arr = np.concatenate([field, np.asarray(cls_rows)], axis=0)
+        out[key] = arr
+    return out
+
+
 def convert_key(key: str, swin: bool = False,
                 convnext: bool = False) -> str:
     key = re.sub(r"^module\.", "", key)
@@ -243,8 +315,10 @@ def convert_state_dict(torch_sd: dict) -> dict:
     swin = not convnext and any(_SWIN_MARKER.search(k) for k in torch_sd)
     for key, value in torch_sd.items():
         if key.endswith(("num_batches_tracked", "relative_position_index",
-                         "attn_mask")):
-            continue  # buffers our modules derive statically
+                         "attn_mask", ".attn.k_bias")):
+            # buffers our modules derive statically; timm BEiT's k_bias
+            # is a registered all-zeros buffer (q/v-only bias layout)
+            continue
         # transpose decisions use the CONVERTED key so fused projections
         # that torch names `in_proj_weight` (→ `qkv.weight`) transpose too
         new_key = convert_key(key, swin=swin, convnext=convnext)
@@ -256,6 +330,14 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("src", type=Path, help="torch checkpoint (.pth)")
     parser.add_argument("dst", type=Path, help="output checkpoint path")
+    parser.add_argument("--rel-pos-grid", type=int, default=None,
+                        help="BEiT/MAE: resample every relative-position "
+                             "bias table to this fine-tune patch grid "
+                             "(e.g. 40 for 640px/patch16) with upstream's "
+                             "geometric-spacing interpolation; then set "
+                             "pretrain_img_size = grid*patch_size in the "
+                             "network config so no trace-time resample "
+                             "runs")
     args = parser.parse_args()
 
     import torch
@@ -267,6 +349,8 @@ def main():
         metadata = ckpt.get("metadata", ckpt.get("meta", {})) or {}
 
     converted = convert_state_dict(state_dict)
+    if args.rel_pos_grid:
+        converted = resample_rel_pos_tables(converted, args.rel_pos_grid)
     payload = {"metadata": {**metadata,
                             "converted_from": str(args.src),
                             "converter": "convert_torch_checkpoint.py"},
