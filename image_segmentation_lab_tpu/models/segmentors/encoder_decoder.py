@@ -155,6 +155,30 @@ class EncoderDecoder(BaseSegmentor):
         grad-CAM tool to differentiate w.r.t. an intermediate feature)."""
         return self.decode_head_module.forward_test(feats, train=train)
 
+    def panoptic(self, img, object_mask_threshold: float = 0.8,
+                 overlap_threshold: float = 0.8):
+        """Panoptic post-processing for mask-classification heads
+        (MaskFormer/Mask2Former): per-pixel winning query at the INPUT
+        resolution (nearest-upsampled id map), per-query labels, kept
+        mask — the triple ``val.py --panoptic`` encodes into panoptic id
+        maps (``core/evaluation/panoptic.py``).  Raises for dense heads,
+        which have no instance notion."""
+        head = self.decode_head_module
+        if not hasattr(head, "panoptic_map"):
+            raise AttributeError(
+                f"{type(head).__name__} is a dense decode head — panoptic "
+                "output needs a mask-classification head "
+                "(MaskFormerHead/Mask2FormerHead)")
+        x = self.extract_feat(img, train=False)
+        query_id, labels, keep = head.panoptic_map(
+            x, object_mask_threshold=object_mask_threshold,
+            overlap_threshold=overlap_threshold)
+        if query_id.shape[1:3] != img.shape[1:3]:
+            query_id = jax.image.resize(
+                query_id, (query_id.shape[0], *img.shape[1:3]),
+                method="nearest")
+        return query_id, labels, keep
+
     def forward_train(self, img, gt_semantic_seg, meta_infos=None,
                       rescale: bool = False, train: bool = True):
         """(reference encoder_decoder.py:146-183)."""

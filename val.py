@@ -44,6 +44,22 @@ def parse_args():
                         help="write one palette-indexed prediction PNG per "
                              "image (mmseg submission format) under "
                              "<run>/predictions/")
+    parser.add_argument("--panoptic", action="store_true",
+                        help="additionally run panoptic evaluation: emit "
+                             "per-image panoptic id maps (panopticapi "
+                             "id2rgb PNGs under <run>/panoptic/) and report "
+                             "PQ/SQ/RQ.  Mask-classification heads "
+                             "(MaskFormer/Mask2Former) use their query-"
+                             "competition panoptic post-processing; dense "
+                             "heads score all-stuff panoptic (one segment "
+                             "per class, the standard semantic→panoptic "
+                             "conversion)")
+    parser.add_argument("--object-mask-threshold", type=float, default=0.8,
+                        help="panoptic: min query confidence to keep a "
+                             "segment (mask-classification heads)")
+    parser.add_argument("--overlap-threshold", type=float, default=0.8,
+                        help="panoptic: min retained fraction of a query's "
+                             "own mask after per-pixel competition")
     return parser.parse_args()
 
 
@@ -146,10 +162,107 @@ def main():
         0, eval_step, state, loader, evaluator,
         pipeline=dataset.device_pipeline)
 
+    pan_metrics = None
+    if args.panoptic:
+        from image_segmentation_lab_tpu.core.evaluation import (
+            PanopticEvaluator, queries_to_panoptic, semantic_to_panoptic)
+        ignore = (dataset.ignore_index
+                  if dataset.ignore_index is not None else 255)
+        pan_eval = PanopticEvaluator(dataset.num_classes)
+        pan_dir = save_dir / "panoptic"
+        pan_dir.mkdir(parents=True, exist_ok=True)
+
+        # mask-classification heads carry their own panoptic
+        # post-processing; everything else scores all-stuff panoptic
+        try:
+            mask_path = hasattr(model.bind(variables).decode_head_module,
+                                "panoptic_map")
+        except AttributeError:
+            mask_path = False
+        if mask_path:
+            pan_step = jax.jit(lambda v, img: model.apply(
+                v, img,
+                object_mask_threshold=args.object_mask_threshold,
+                overlap_threshold=args.overlap_threshold,
+                method="panoptic"))
+
+        def _nearest(arr, shape):
+            ys = np.arange(shape[0]) * arr.shape[0] // shape[0]
+            xs = np.arange(shape[1]) * arr.shape[1] // shape[1]
+            return arr[ys][:, xs]
+
+        def _write_id2rgb(pan, path):
+            # panopticapi id2rgb encoding; void (<0) stores id 0
+            import cv2
+            ids = np.where(pan < 0, 0, pan).astype(np.int64)
+            rgb = np.stack([ids % 256, (ids >> 8) % 256, (ids >> 16) % 256],
+                           axis=-1).astype(np.uint8)
+            cv2.imwrite(str(path), rgb[..., ::-1])  # cv2 expects BGR
+
+        n_done = 0
+        for batch_idx, (images, labels, infos) in enumerate(loader):
+            if dataset.device_pipeline is not None:
+                rng = jax.random.PRNGKey(batch_idx)
+                images, labels = dataset.device_pipeline(rng, images, labels)
+            else:
+                images = jnp.asarray(images, jnp.float32)
+                labels = jnp.asarray(labels)
+            labels = labels.astype(jnp.int32)
+            gts = infos.get("ori_gt")
+            if gts is None:
+                gts = np.asarray(jax.device_get(labels))
+            files = infos.get("img_file_path")
+
+            if mask_path:
+                qid, qlabels, keep = pan_step(variables, images)
+                qid = np.asarray(jax.device_get(qid))
+                qlabels = np.asarray(jax.device_get(qlabels))
+                keep = np.asarray(jax.device_get(keep))
+            else:
+                seg_logits, _ = eval_step(state, images, labels)
+                value = seg_logits["decode"]
+                if isinstance(value, dict):  # aux ModuleList case
+                    value = value[sorted(value)[0]]
+                if not isinstance(value, (list, tuple)):
+                    preds_b = np.asarray(jax.device_get(
+                        jnp.argmax(jnp.asarray(value), axis=-1)))
+
+            for i in range(int(images.shape[0])):
+                gt = np.asarray(gts[i]).astype(np.int64)
+                if mask_path:
+                    q = qid[i]
+                    if q.shape != gt.shape:
+                        q = _nearest(q, gt.shape)
+                    pred_pan = queries_to_panoptic(q, qlabels[i], keep[i])
+                else:
+                    if isinstance(value, (list, tuple)):
+                        logit = np.asarray(jax.device_get(value[i]))
+                        if logit.ndim == 4:
+                            logit = logit[0]
+                        pred = logit.argmax(-1)
+                    else:
+                        pred = preds_b[i]
+                    if pred.shape != gt.shape:
+                        pred = _nearest(pred, gt.shape)
+                    pred_pan = semantic_to_panoptic(pred, ignore)
+                pan_eval.process(pred_pan, semantic_to_panoptic(gt, ignore))
+                stem = (Path(str(files[i])).stem
+                        if files is not None and i < len(files)
+                        else f"{n_done:06d}")
+                _write_id2rgb(pred_pan, pan_dir / f"{stem}.png")
+                n_done += 1
+
+        pan_metrics = pan_eval.compute()
+        print(f"panoptic ({'mask-cls' if mask_path else 'all-stuff'}): "
+              f"PQ={pan_metrics['PQ']:.2f} SQ={pan_metrics['SQ']:.2f} "
+              f"RQ={pan_metrics['RQ']:.2f}  "
+              f"({n_done} maps -> {pan_dir})")
+
     print("val loss vars: " +
           " ".join(f"{k}={v:.4f}" for k, v in val_vars.items()))
     payload = {"checkpoint": str(args.checkpoint),
                "losses": val_vars,
+               **({"panoptic": pan_metrics} if pan_metrics else {}),
                "metrics": {h: {k: (float(v) if np.isscalar(v) or
                                    getattr(v, "ndim", 1) == 0
                                    else np.asarray(v).tolist())
