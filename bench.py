@@ -71,13 +71,27 @@ def _median_secs(call, repeats: int) -> float:
     return float(np.median(ts))
 
 
-def _rtt(x, repeats: int = 3) -> float:
-    """Median time of a no-op jit + scalar fetch (tunnel round-trip)."""
+def _rtt(x, repeats: int = 5) -> float:
+    """MIN time of a no-op jit + scalar fetch (tunnel round-trip).
+
+    Min, not median: the rtt is subtracted from every amortized loop
+    below, and tunnel congestion only ever INFLATES a sample — a
+    one-off ~300 ms hiccup across a 3-sample median once inflated a
+    5-iter Mask2Former reading 1.85x (the round-3 "fresh-process
+    244.4 img/s" that round-4 probes showed never existed; the true
+    batch-independent rate is ~132 — docs/PERF.md round 4).  The min
+    over 5 back-to-back no-ops is the honest floor estimator."""
     import jax
     import jax.numpy as jnp
 
     noop = jax.jit(lambda x: x.sum().astype(jnp.float32))
-    return _median_secs(lambda: float(noop(x)), repeats)
+    float(noop(x))  # warm compile
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(noop(x))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 
 def _amortized_infer_secs_per_step(model, variables, x, iters: int,
