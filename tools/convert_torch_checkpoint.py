@@ -34,7 +34,11 @@ naming and layout so ``--load-from`` / ``PretrainedInit`` work:
   4-level ``layers.N.{0,1.M,2}``) map onto the 1-indexed
   ``patch_embed{i}_*`` / ``stage{i}_block{j}`` / ``norm{i}`` tree; the
   fused ``in_proj_weight`` splits into our ``q``/``kv`` 1x1 convs and
-  ``out_proj`` reshapes to the ``proj`` conv.
+  ``out_proj`` reshapes to the ``proj`` conv;
+* reference HRNet checkpoints (hrnet.py ``stageS.m.branches.i.n``,
+  ``fuse_layers.i.j[.k].{0,1}``, ``transitionT.i[.j].{0,1}`` Sequential
+  indices) map onto the ``stages_{S-2}_{m}`` / ``transitions_{T-1}``
+  tree with ``conv``/``bn`` named fields.
 
 Usage:
     python tools/convert_torch_checkpoint.py in.pth out.pth
@@ -118,6 +122,29 @@ RENAME_RULES = [
     # consumed by the more specific rules above)
     (re.compile(r"\blayers\.(\d+)\.attn\."), r"block\1.attn."),
     (re.compile(r"\blayers\.(\d+)\.gamma_"), r"block\1.gamma_"),
+    # ---- reference HRNet (hrnet.py: stageS.m.{branches,fuse_layers},
+    # transitionT ModuleLists of Sequentials) → our stages_{S-2}_{m} /
+    # transitions_{T-1} flax trees.  Deeper (chain) patterns first so the
+    # shallower ones can never eat a prefix of a chain key. ----
+    (re.compile(r"\bstage(\d+)\.(\d+)\.branches\.(\d+)\.(\d+)\."),
+     lambda m: (f"stages_{int(m.group(1)) - 2}_{m.group(2)}"
+                f".branches_{m.group(3)}.blocks_{m.group(4)}.")),
+    (re.compile(r"\bstage(\d+)\.(\d+)\.fuse_layers"
+                r"\.(\d+)\.(\d+)\.(\d+)\.([01])\."),
+     lambda m: (f"stages_{int(m.group(1)) - 2}_{m.group(2)}.fuse_layers"
+                f"_{m.group(3)}_{m.group(4)}_{m.group(5)}"
+                f".{'conv' if m.group(6) == '0' else 'bn'}.")),
+    (re.compile(r"\bstage(\d+)\.(\d+)\.fuse_layers\.(\d+)\.(\d+)\.([01])\."),
+     lambda m: (f"stages_{int(m.group(1)) - 2}_{m.group(2)}.fuse_layers"
+                f"_{m.group(3)}_{m.group(4)}"
+                f".{'conv' if m.group(5) == '0' else 'bn'}.")),
+    (re.compile(r"\btransition(\d+)\.(\d+)\.(\d+)\.([01])\."),
+     lambda m: (f"transitions_{int(m.group(1)) - 1}_{m.group(2)}"
+                f"_{m.group(3)}"
+                f".{'conv' if m.group(4) == '0' else 'bn'}.")),
+    (re.compile(r"\btransition(\d+)\.(\d+)\.([01])\."),
+     lambda m: (f"transitions_{int(m.group(1)) - 1}_{m.group(2)}"
+                f".{'conv' if m.group(3) == '0' else 'bn'}.")),
     # residual stages: layer1.0.conv1 → layer1.blocks_0.conv1
     (re.compile(r"(layer\d+)\.(\d+)\."), r"\1.blocks_\2."),
     # block downsample Sequential → named fields
