@@ -38,7 +38,19 @@ naming and layout so ``--load-from`` / ``PretrainedInit`` work:
 * reference HRNet checkpoints (hrnet.py ``stageS.m.branches.i.n``,
   ``fuse_layers.i.j[.k].{0,1}``, ``transitionT.i[.j].{0,1}`` Sequential
   indices) map onto the ``stages_{S-2}_{m}`` / ``transitions_{T-1}``
-  tree with ``conv``/``bn`` named fields.
+  tree with ``conv``/``bn`` named fields;
+* ResNeSt checkpoints: SplAtConv2d ``conv2.bn0/bn1`` → ``norm0/norm1``,
+  plus the avg-down ``downsample.{1,2}`` Sequential layout (detected
+  structurally from a ``.downsample.2.`` key — also covers mmseg
+  ResNet(V1d) checkpoints saved with ``avg_down=True``);
+* PoolFormer checkpoints (original repo / timm / mmpretrain): the
+  interleaved ``network.N`` list (even = block stages, odd = embeds)
+  maps onto ``patch_embed{i}`` / ``stage{i}_block{j}``, mmpretrain's
+  network-indexed out-norms (norm0/2/4/6) onto our stage-indexed ones;
+* Twins PCPVT/SVT checkpoints (mmseg naming): GSA layers' fused
+  ``attn.attn.in_proj`` splits into q/kv 1x1 convs (the layers subclass
+  MiT's EfficientMultiheadAttention upstream too), LSA window layers
+  keep Linear qkv; ``position_encodings.N.proj.0`` → ``peg{i}``.
 
 Usage:
     python tools/convert_torch_checkpoint.py in.pth out.pth
@@ -83,8 +95,39 @@ CONVNEXT_RULES = [
     (re.compile(r"(stage\d+_block\d+)\.mlp\.fc2\."), r"\1.pwconv2."),
 ]
 
+# PoolFormer-only rules (gated on the `network.N.` Sequential marker):
+# upstream (the original poolformer repo / timm / mmpretrain) interleaves
+# stages and patch embeds in ONE `network` list — even indices are block
+# stages, odd are downsampling embeds; mmpretrain's out-indices norms are
+# numbered by network index (norm0/2/4/6), ours by stage (norm0..3).
+POOLFORMER_RULES = [
+    (re.compile(r"\bpatch_embed\.proj\."), "patch_embed0."),
+    (re.compile(r"\bnetwork\.([135])\.proj\."),
+     lambda m: f"patch_embed{(int(m.group(1)) + 1) // 2}."),
+    (re.compile(r"\bnetwork\.([0246])\.(\d+)\."),
+     lambda m: f"stage{int(m.group(1)) // 2}_block{m.group(2)}."),
+    (re.compile(r"\bnorm([0246])\."),
+     lambda m: f"norm{int(m.group(1)) // 2}."),
+    (re.compile(r"\.mlp\.fc1\."), ".fc1."),
+    (re.compile(r"\.mlp\.fc2\."), ".fc2."),
+]
+
+# avg-down residual downsample (ResNeSt, and mmseg ResNet variants saved
+# with avg_down=True): Sequential(AvgPool2d, conv, bn) — the conv sits at
+# index 1 and the bn at 2 (the pool has no params), unlike the plain
+# (conv, bn) layout the generic rules below assume.  Applied only when the
+# state_dict structurally proves the layout (a `.downsample.2.` key).
+AVGDOWN_RULES = [
+    (re.compile(r"\.downsample\.1\."), ".downsample_conv."),
+    (re.compile(r"\.downsample\.2\."), ".downsample_bn."),
+]
+
 # ordered rename rules (regex, replacement)
 RENAME_RULES = [
+    # ---- ResNeSt SplAtConv2d (conv2.{conv,bn0,fc1,bn1,fc2}): only the
+    # norm names differ; `conv2.bn*` exists in no other family ----
+    (re.compile(r"\.conv2\.bn0\."), ".conv2.norm0."),
+    (re.compile(r"\.conv2\.bn1\."), ".conv2.norm1."),
     # ---- upstream Swin (timm: layers.N.blocks.M / downsample;
     #      mmseg/mmcv: stages.N.blocks.M, attn.w_msa, ffn.layers) ----
     # these must precede the ViT `blocks.N` rule, which would otherwise
@@ -160,12 +203,13 @@ RENAME_RULES = [
     # ASPP image pool Sequential(AdaptiveAvgPool2d, ConvModule)
     (re.compile(r"\.image_pool\.1\."), ".image_pool_conv."),
     # deep stem Sequential (conv,bn,relu)x3 at indices 0,1,3,4,6,7
-    (re.compile(r"\.stem\.0\."), ".stem_0."),
-    (re.compile(r"\.stem\.1\."), ".stem_1."),
-    (re.compile(r"\.stem\.3\."), ".stem_2."),
-    (re.compile(r"\.stem\.4\."), ".stem_3."),
-    (re.compile(r"\.stem\.6\."), ".stem_4."),
-    (re.compile(r"\.stem\.7\."), ".stem_5."),
+    # (\b so bare-backbone state_dicts starting at `stem.0.` match too)
+    (re.compile(r"\bstem\.0\."), "stem_0."),
+    (re.compile(r"\bstem\.1\."), "stem_1."),
+    (re.compile(r"\bstem\.3\."), "stem_2."),
+    (re.compile(r"\bstem\.4\."), "stem_3."),
+    (re.compile(r"\bstem\.6\."), "stem_4."),
+    (re.compile(r"\bstem\.7\."), "stem_5."),
     # conv_cat etc. keep their names; module. prefix handled by loader
 ]
 
@@ -305,13 +349,19 @@ def resample_rel_pos_tables(sd: dict, dst_grid: int) -> dict:
     return out
 
 
-def convert_key(key: str, swin: bool = False,
-                convnext: bool = False) -> str:
+def convert_key(key: str, swin: bool = False, convnext: bool = False,
+                poolformer: bool = False, avg_down: bool = False) -> str:
     key = re.sub(r"^module\.", "", key)
     if swin:
         key = _FINAL_NORM.sub("norm3.", key)
     if convnext:
         for pattern, repl in CONVNEXT_RULES:
+            key = pattern.sub(repl, key)
+    if poolformer:
+        for pattern, repl in POOLFORMER_RULES:
+            key = pattern.sub(repl, key)
+    if avg_down:
+        for pattern, repl in AVGDOWN_RULES:
             key = pattern.sub(repl, key)
     for pattern, repl in RENAME_RULES:
         key = pattern.sub(repl, key)
@@ -333,13 +383,67 @@ def convert_tensor(key: str, t) -> np.ndarray:
     return arr
 
 
+def _convert_twins_state_dict(torch_sd: dict) -> dict:
+    """mmseg Twins (PCPVT/SVT) → our ``embed{i}_*`` / ``peg{i}`` /
+    ``stage{i}_block{j}`` / ``norm_after{i}`` tree.
+
+    mmseg's GSA layers subclass MiT's EfficientMultiheadAttention, so the
+    fused ``attn.attn.in_proj_*`` splits into our q / kv 1x1 convs exactly
+    like the MiT converter; LSA (SVT window) layers carry a plain ``qkv``
+    Linear and keep Linear layouts.  The two cases are distinguishable
+    per key: GSA's out projection arrives as ``.attn.attn.out_proj.``
+    (→ 1x1 conv), LSA's as ``.attn.proj.`` (→ Linear)."""
+    out = {}
+    for key, value in torch_sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        arr = np.asarray(value.detach().cpu().numpy()
+                         if hasattr(value, "detach") else value)
+        k = re.sub(r"^module\.", "", key)
+        k = re.sub(r"\bpatch_embeds\.(\d+)\.projection\.", r"embed\1_conv.",
+                   k)
+        k = re.sub(r"\bpatch_embeds\.(\d+)\.norm\.", r"embed\1_norm.", k)
+        k = re.sub(r"\bposition_encodings\.(\d+)\.proj\.0\.", r"peg\1.proj.",
+                   k)
+        # FFN internals first: their `.ffn.layers.0.0.` would otherwise be
+        # eaten by the two-level block rule below
+        k = k.replace(".ffn.layers.0.0.", ".ffn.fc1.")
+        k = k.replace(".ffn.layers.1.", ".ffn.fc2.")
+        k = re.sub(r"\b(?:layers|blocks)\.(\d+)\.(\d+)\.",
+                   r"stage\1_block\2.", k)
+        k = re.sub(r"\bnorm_after_stage\.(\d+)\.", r"norm_after\1.", k)
+        k = k.replace(".attn.norm.", ".attn.sr_norm.")
+        if k.endswith(".attn.attn.in_proj_weight"):
+            base = k[:-len("attn.in_proj_weight")]
+            C = arr.shape[1]
+            out[base + "q.weight"] = _to_1x1(arr[:C])
+            out[base + "kv.weight"] = _to_1x1(arr[C:])
+        elif k.endswith(".attn.attn.in_proj_bias"):
+            base = k[:-len("attn.in_proj_bias")]
+            C = arr.shape[0] // 3
+            out[base + "q.bias"] = np.ascontiguousarray(arr[:C])
+            out[base + "kv.bias"] = np.ascontiguousarray(arr[C:])
+        elif k.endswith(".attn.attn.out_proj.weight"):
+            out[k.replace(".attn.attn.out_proj.", ".attn.proj.")] = \
+                _to_1x1(arr)
+        elif k.endswith(".attn.attn.out_proj.bias"):
+            out[k.replace(".attn.attn.out_proj.", ".attn.proj.")] = arr
+        else:
+            out[k] = convert_tensor(k, arr)
+    return out
+
+
 def convert_state_dict(torch_sd: dict) -> dict:
+    if any("position_encodings." in k for k in torch_sd):
+        return _convert_twins_state_dict(torch_sd)
     if any(_MIT_MARKER.search(k) for k in torch_sd) and \
             any(".attn.sr." in k or ".ffn.layers." in k for k in torch_sd):
         return _convert_mit_state_dict(torch_sd)
     out = {}
     convnext = any(_CONVNEXT_MARKER.search(k) for k in torch_sd)
     swin = not convnext and any(_SWIN_MARKER.search(k) for k in torch_sd)
+    poolformer = any(re.search(r"\bnetwork\.\d+\.", k) for k in torch_sd)
+    avg_down = any(".downsample.2." in k for k in torch_sd)
     for key, value in torch_sd.items():
         if key.endswith(("num_batches_tracked", "relative_position_index",
                          "attn_mask", ".attn.k_bias")):
@@ -348,7 +452,8 @@ def convert_state_dict(torch_sd: dict) -> dict:
             continue
         # transpose decisions use the CONVERTED key so fused projections
         # that torch names `in_proj_weight` (→ `qkv.weight`) transpose too
-        new_key = convert_key(key, swin=swin, convnext=convnext)
+        new_key = convert_key(key, swin=swin, convnext=convnext,
+                              poolformer=poolformer, avg_down=avg_down)
         out[new_key] = convert_tensor(new_key, value)
     return out
 
