@@ -50,7 +50,13 @@ naming and layout so ``--load-from`` / ``PretrainedInit`` work:
 * Twins PCPVT/SVT checkpoints (mmseg naming): GSA layers' fused
   ``attn.attn.in_proj`` splits into q/kv 1x1 convs (the layers subclass
   MiT's EfficientMultiheadAttention upstream too), LSA window layers
-  keep Linear qkv; ``position_encodings.N.proj.0`` → ``peg{i}``.
+  keep Linear qkv; ``position_encodings.N.proj.0`` → ``peg{i}``;
+* MaskFormer / Mask2Former heads (mmseg-1.x/mmdet naming): fused
+  decoder ``in_proj`` splits into q/k/v_proj Linears with the
+  self/cross role swap between the two layer orders handled;
+  embeddings, mask MLP, post_norm and MaskFormer's FPN pixel decoder
+  map; Mask2Former's MSDeformAttnPixelDecoder tensors are dropped with
+  a notice (measured divergence, docs/PERF.md round 4).
 
 Usage:
     python tools/convert_torch_checkpoint.py in.pth out.pth
@@ -433,7 +439,99 @@ def _convert_twins_state_dict(torch_sd: dict) -> dict:
     return out
 
 
+_MF_HEAD_MARKER = re.compile(
+    r"transformer_decoder\.|pixel_decoder\.|\bquery_embed\.|\bquery_feat\."
+    r"|\blevel_embed\.|\bcls_embed\.|\bmask_embed\.")
+
+
+def _convert_maskformer_head_sd(torch_sd: dict) -> dict:
+    """mmseg/mmdet MaskFormerHead / Mask2FormerHead → our head tree.
+
+    The fused ``attentions.{0,1}.attn.in_proj`` splits into
+    q/k/v_proj Linears.  Both upstream layer types pair attentions.0
+    with norms.0 and attentions.1 with norms.1 — only the self/cross
+    ROLES swap (DETR order for MaskFormer, cross-first for Mask2Former,
+    detected via ``query_feat``), which matches our ``layerN`` field
+    names exactly.  MaskFormer's base FPN ``PixelDecoder``
+    (lateral_convs/output_convs) maps onto our ``lateral{i}/output{i}``;
+    Mask2Former's MSDeformAttnPixelDecoder weights have no counterpart
+    (the FPN divergence is measured in docs/PERF.md) and are DROPPED
+    with a count — backbone + transformer decoder + embeds still load.
+    """
+    mask2former = any("query_feat" in k for k in torch_sd)
+    a0, a1 = (("cross_attn", "self_attn") if mask2former
+              else ("self_attn", "cross_attn"))
+    out = {}
+    dropped = 0
+    for key, value in torch_sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        k = re.sub(r"^module\.", "", key)
+        if "pixel_decoder." in k:
+            if mask2former:        # MSDeformAttn encoder: no counterpart
+                dropped += 1
+                continue
+            k = re.sub(r"pixel_decoder\.lateral_convs\.(\d+)\.",
+                       r"pixel_decoder.lateral\1.", k)
+            k = re.sub(r"pixel_decoder\.output_convs\.(\d+)\.",
+                       r"pixel_decoder.output\1.", k)
+        arr = np.asarray(value.detach().cpu().numpy()
+                         if hasattr(value, "detach") else value)
+        k = re.sub(r"transformer_decoder\.layers\.(\d+)\.attentions\.0\.",
+                   lambda m: f"layer{m.group(1)}.{a0}.", k)
+        k = re.sub(r"transformer_decoder\.layers\.(\d+)\.attentions\.1\.",
+                   lambda m: f"layer{m.group(1)}.{a1}.", k)
+        k = re.sub(r"transformer_decoder\.layers\.(\d+)\.norms\.(\d)\.",
+                   lambda m: f"layer{m.group(1)}.norm{int(m.group(2)) + 1}.",
+                   k)
+        k = re.sub(r"transformer_decoder\.layers\.(\d+)\.ffns\.0\."
+                   r"layers\.0\.0\.",
+                   lambda m: f"layer{m.group(1)}.ffn_fc1.", k)
+        k = re.sub(r"transformer_decoder\.layers\.(\d+)\.ffns\.0\."
+                   r"layers\.1\.",
+                   lambda m: f"layer{m.group(1)}.ffn_fc2.", k)
+        k = k.replace("transformer_decoder.post_norm.", "decoder_norm.")
+        k = re.sub(r"\bmask_embed\.([024])\.",
+                   lambda m: f"mask_embed{int(m.group(1)) // 2}.", k)
+        if k.endswith(".attn.in_proj_weight"):
+            base = k[:-len("attn.in_proj_weight")]
+            C = arr.shape[1]
+            for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                out[base + name + ".weight"] = np.ascontiguousarray(
+                    arr[i * C:(i + 1) * C].T)
+            continue
+        if k.endswith(".attn.in_proj_bias"):
+            base = k[:-len("attn.in_proj_bias")]
+            C = arr.shape[0] // 3
+            for i, name in enumerate(("q_proj", "k_proj", "v_proj")):
+                out[base + name + ".bias"] = np.ascontiguousarray(
+                    arr[i * C:(i + 1) * C])
+            continue
+        k = k.replace(".attn.out_proj.", ".out_proj.")
+        # bare-param embeddings: torch nn.Embedding .weight, ours a bare
+        # (rows, C) param — same layout, NO Linear transpose
+        m = re.search(r"\b(query_embed|query_feat|level_embed)\.weight$", k)
+        if m:
+            out[k[:-len(".weight")]] = arr
+            continue
+        out[k] = convert_tensor(k, arr)
+    if dropped:
+        print(f"note: dropped {dropped} MSDeformAttn pixel-decoder tensors "
+              "(this framework ships an FPN pixel decoder for Mask2Former "
+              "- docs/PERF.md round 4); the pixel decoder needs training "
+              "or its own initialization")
+    return out
+
+
 def convert_state_dict(torch_sd: dict) -> dict:
+    if any("transformer_decoder." in k for k in torch_sd):
+        head = {k: v for k, v in torch_sd.items()
+                if _MF_HEAD_MARKER.search(k)}
+        rest = {k: v for k, v in torch_sd.items()
+                if not _MF_HEAD_MARKER.search(k)}
+        out = convert_state_dict(rest)    # backbone rides its own rules
+        out.update(_convert_maskformer_head_sd(head))
+        return out
     if any("position_encodings." in k for k in torch_sd):
         return _convert_twins_state_dict(torch_sd)
     if any(_MIT_MARKER.search(k) for k in torch_sd) and \
