@@ -40,10 +40,17 @@ def export_inference(model, variables,
                      input_hw: Tuple[int, int],
                      batch: Optional[int] = 1,
                      platforms: Sequence[str] = ("tpu", "cpu"),
-                     dtype=None):
-    """Export ``model.apply(variables, img, method='inference')`` (the
-    whole/slide + sigmoid/softmax path the evaluator consumes) as a
+                     dtype=None,
+                     method: str = "inference"):
+    """Export ``model.apply(variables, img, method=...)`` as a
     ``jax.export.Exported`` with the weights embedded as constants.
+
+    ``method='inference'`` is the whole/slide + sigmoid/softmax path the
+    evaluator consumes; ``method='panoptic'`` exports the
+    mask-classification panoptic program — its ``(query_id, labels,
+    keep)`` triple is static-shaped, so it AOT-exports exactly like the
+    dense path (consumers encode ids via
+    ``core.evaluation.panoptic.queries_to_panoptic``).
 
     ``batch=None`` exports a symbolic batch dimension (whole mode only —
     see module docstring).
@@ -56,7 +63,7 @@ def export_inference(model, variables,
     h, w = input_hw
 
     def fn(img):
-        return model.apply(variables, img, method="inference")
+        return model.apply(variables, img, method=method)
 
     if batch is None:
         mode = (dict(model.test_cfg or {})).get("mode", "whole")

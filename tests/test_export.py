@@ -116,3 +116,40 @@ def test_export_cli_end_to_end(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "validate OK" in r.stdout
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_export_panoptic_program(tmp_path):
+    """The mask-classification panoptic post-processing is static-shaped
+    and AOT-exports like the dense path: the artifact returns the
+    (query_id, labels, keep) triple bit-identical to the live model."""
+    cfg = dict(
+        type="EncoderDecoder",
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      strides=(1, 2, 2, 2), dilations=(1, 1, 1, 1),
+                      out_indices=(0, 1, 2, 3), base_channels=8,
+                      stem_channels=8),
+        decode_head=dict(type="MaskFormerHead",
+                         in_channels=[8, 16, 32, 64],
+                         in_index=(0, 1, 2, 3),
+                         input_transform="multiple_select",
+                         channels=16, feat_channels=16, num_queries=8,
+                         num_decoder_layers=2, num_heads=2,
+                         feedforward_channels=32, dropout_ratio=0.0,
+                         num_classes=3),
+        test_cfg=dict(mode="whole"))
+    model = build_segmentor(cfg)
+    x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, method="encode_decode")
+
+    exported = export_inference(model, variables, input_hw=(32, 32),
+                                batch=2, platforms=("cpu",),
+                                method="panoptic")
+    path = save_exported(exported, tmp_path / "pan")
+    x = np.random.RandomState(0).rand(2, 32, 32, 3).astype(np.float32)
+    got = load_exported(path).call(x)
+    want = model.apply(variables, x, method="panoptic")
+    assert len(got) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    qid = np.asarray(got[0])
+    assert qid.shape == (2, 32, 32) and qid.min() >= -1 and qid.max() < 8

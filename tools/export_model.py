@@ -48,6 +48,12 @@ def parse_args():
     p.add_argument("--validate", action="store_true",
                    help="reload the written artifact and compare against "
                         "the live model on a random input")
+    p.add_argument("--method", default="inference",
+                   choices=["inference", "panoptic"],
+                   help="program to export: the evaluator's whole/slide "
+                        "probability path, or the mask-classification "
+                        "panoptic post-processing (query_id/labels/keep "
+                        "triple — MaskFormer/Mask2Former heads only)")
     return p.parse_args()
 
 
@@ -68,26 +74,31 @@ def main():
     exported = export_inference(bundle.model, bundle.variables,
                                 input_hw=tuple(args.input_size),
                                 batch=batch,
-                                platforms=tuple(args.platforms))
+                                platforms=tuple(args.platforms),
+                                method=args.method)
     path = save_exported(exported, args.out)
     size_mb = path.stat().st_size / 1e6
-    print(f"exported {args.network_cfg.name} "
-          f"[{args.input_size[0]}x{args.input_size[1]}, batch="
+    print(f"exported {args.network_cfg.name} [{args.method}, "
+          f"{args.input_size[0]}x{args.input_size[1]}, batch="
           f"{'any' if batch is None else batch}, "
           f"platforms={','.join(args.platforms)}] → {path} ({size_mb:.1f} MB)")
 
     if args.validate:
+        import jax
         import numpy as np
         fn = serve_fn(path)
         b = 2 if batch is None else batch
         x = np.random.RandomState(0).rand(
             b, args.input_size[0], args.input_size[1], 3).astype("float32")
-        got = np.asarray(fn(x))
-        want = np.asarray(bundle.model.apply(bundle.variables, x,
-                                             method="inference"))
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        got = jax.tree.leaves(fn(x))
+        want = jax.tree.leaves(bundle.model.apply(bundle.variables, x,
+                                                  method=args.method))
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-5, atol=1e-6)
         print(f"validate OK — artifact output matches the live model "
-              f"(shape {got.shape})")
+              f"({len(got)} output leaves, first shape "
+              f"{np.asarray(got[0]).shape})")
 
 
 if __name__ == "__main__":
