@@ -155,3 +155,72 @@ def test_mask2former_head_checkpoint_loads_all_but_pixel_decoder(tmp_path):
                 got[key], np.zeros_like(flat[key]), err_msg=key)
         else:
             np.testing.assert_array_equal(got[key], flat[key], err_msg=key)
+
+
+def test_full_mask2former_checkpoint_with_prefixes(tmp_path):
+    """A FULL-model upstream checkpoint (backbone.* + decode_head.*
+    prefixes) routes backbone keys through the regular rules and head
+    keys through the head converter; everything except the pixel
+    decoder loads."""
+    from image_segmentation_lab_tpu.models.builder import build_segmentor
+    model = build_segmentor(dict(
+        type="EncoderDecoder",
+        backbone=dict(type="ResNetV1c", depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3), dilations=(1, 1, 1, 1),
+                      strides=(1, 2, 2, 2),
+                      norm_cfg=dict(type="BN", requires_grad=True),
+                      base_channels=8, stem_channels=8),
+        decode_head=dict(type="Mask2FormerHead",
+                         in_channels=[8, 16, 32, 64],
+                         in_index=(0, 1, 2, 3),
+                         input_transform="multiple_select",
+                         channels=16, feat_channels=16, num_queries=8,
+                         num_decoder_layers=2, num_heads=2,
+                         feedforward_channels=32, dropout_ratio=0.0,
+                         num_classes=3),
+        test_cfg=dict(mode="whole")))
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v = model.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x,
+                   method="encode_decode")
+    flat = {}
+    for coll in ("params", "batch_stats"):
+        for k, le in flax.traverse_util.flatten_dict(v[coll]).items():
+            flat[".".join(k)] = np.asarray(le)
+
+    sd = {}
+    for key, arr in flat.items():
+        if key.startswith("decode_head."):
+            continue  # head keys assembled below via the inverse mapper
+        tk = key
+        tk = re.sub(r"\blayer(\d)\.blocks_(\d+)\.", r"layer\1.\2.", tk)
+        tk = tk.replace(".downsample_conv.", ".downsample.0.")
+        tk = tk.replace(".downsample_bn.", ".downsample.1.")
+        tk = re.sub(r"\bstem_(\d)\.",
+                    lambda mm: f"stem.{(0, 1, 3, 4, 6, 7)[int(mm.group(1))]}.",
+                    tk)
+        if arr.ndim == 4:
+            arr = arr.transpose(3, 2, 0, 1)
+        sd[tk] = torch.from_numpy(np.ascontiguousarray(arr))
+    head_flat = {k[len("decode_head."):]: a for k, a in flat.items()
+                 if k.startswith("decode_head.")}
+    for k, t in _torch_sd(head_flat, mask2former=True).items():
+        sd["decode_head." + k] = t
+
+    converted = convert_state_dict(sd)
+    path = tmp_path / "full.pth"
+    with open(path, "wb") as f:
+        pickle.dump({"metadata": {}, "state_dict": converted}, f)
+    zeroed = jax.tree.map(jnp.zeros_like, v)
+    loaded, _ = load_checkpoint(zeroed, path, strict=False, logger=None)
+    got = {}
+    for coll in ("params", "batch_stats"):
+        for k, le in flax.traverse_util.flatten_dict(loaded[coll]).items():
+            got[".".join(k)] = np.asarray(le)
+    n_checked = 0
+    for key in flat:
+        if "pixel_decoder." in key:
+            continue
+        np.testing.assert_array_equal(got[key], flat[key], err_msg=key)
+        n_checked += 1
+    assert n_checked > 100
