@@ -179,6 +179,29 @@ class EncoderDecoder(BaseSegmentor):
                 method="nearest")
         return query_id, labels, keep
 
+    def instances(self, img, score_threshold: float = 0.0):
+        """Instance post-processing for mask-classification heads: the
+        per-query ``(labels (N,Q), scores (N,Q), masks (N,Q,H,W) bool)``
+        triple at the INPUT resolution (nearest-upsampled masks).
+        ``val.py --instances`` encodes it into COCO-style RLE JSON
+        (``core/evaluation/instances.py``); gated queries carry score 0.
+        Raises for dense heads, which have no instance notion."""
+        head = self.decode_head_module
+        if not hasattr(head, "instance_results"):
+            raise AttributeError(
+                f"{type(head).__name__} is a dense decode head — instance "
+                "output needs a mask-classification head "
+                "(MaskFormerHead/Mask2FormerHead)")
+        x = self.extract_feat(img, train=False)
+        labels, scores, masks = head.instance_results(
+            x, score_threshold=score_threshold)
+        if masks.shape[2:4] != img.shape[1:3]:
+            masks = jax.image.resize(
+                masks.astype(jnp.int32),
+                (*masks.shape[:2], *img.shape[1:3]),
+                method="nearest").astype(bool)
+        return labels, scores, masks
+
     def forward_train(self, img, gt_semantic_seg, meta_infos=None,
                       rescale: bool = False, train: bool = True):
         """(reference encoder_decoder.py:146-183)."""

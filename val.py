@@ -54,6 +54,14 @@ def parse_args():
                              "heads score all-stuff panoptic (one segment "
                              "per class, the standard semantic→panoptic "
                              "conversion)")
+    parser.add_argument("--instances", action="store_true",
+                        help="additionally export per-image instance "
+                             "results from mask-classification heads as "
+                             "COCO-style uncompressed-RLE JSON "
+                             "(<run>/instances.json); rejects dense heads")
+    parser.add_argument("--score-threshold", type=float, default=0.0,
+                        help="instances: zero out queries below this "
+                             "class-confidence")
     parser.add_argument("--object-mask-threshold", type=float, default=0.8,
                         help="panoptic: min query confidence to keep a "
                              "segment (mask-classification heads)")
@@ -257,6 +265,36 @@ def main():
               f"PQ={pan_metrics['PQ']:.2f} SQ={pan_metrics['SQ']:.2f} "
               f"RQ={pan_metrics['RQ']:.2f}  "
               f"({n_done} maps -> {pan_dir})")
+
+    if args.instances:
+        from image_segmentation_lab_tpu.core.evaluation import \
+            instances_to_json
+        inst_step = jax.jit(lambda v, img: model.apply(
+            v, img, score_threshold=args.score_threshold,
+            method="instances"))
+        records = []
+        for batch_idx, (images, labels, infos) in enumerate(loader):
+            if dataset.device_pipeline is not None:
+                rng = jax.random.PRNGKey(batch_idx)
+                images, labels = dataset.device_pipeline(rng, images, labels)
+            else:
+                images = jnp.asarray(images, jnp.float32)
+            files = infos.get("img_file_path")
+            ilabels, scores, masks = (np.asarray(jax.device_get(a))
+                                      for a in inst_step(variables, images))
+            for i in range(int(images.shape[0])):
+                name = (str(files[i]) if files is not None and i < len(files)
+                        else f"{len(records):06d}")
+                records.append({
+                    "image": name,
+                    "instances": instances_to_json(ilabels[i], scores[i],
+                                                   masks[i])})
+        inst_file = save_dir / "instances.json"
+        with open(inst_file, "w") as f:
+            json.dump(records, f)
+        n_inst = sum(len(r["instances"]) for r in records)
+        print(f"instances: {n_inst} over {len(records)} images "
+              f"-> {inst_file}")
 
     print("val loss vars: " +
           " ".join(f"{k}={v:.4f}" for k, v in val_vars.items()))
