@@ -261,6 +261,18 @@ def main():
                 n_done += 1
 
         pan_metrics = pan_eval.compute()
+        from image_segmentation_lab_tpu.core.evaluation import AsciiTable
+        per = pan_metrics["per_class"]
+        names = [(dataset.CLASSES[c] if dataset.CLASSES
+                  and c < len(dataset.CLASSES) else str(c))
+                 for c in range(dataset.num_classes)]
+        table = AsciiTable()
+        table.add_column("class", names)
+        for col in ("PQ", "SQ", "RQ"):
+            table.add_column(col, [f"{v:.2f}" for v in per[col]])
+        for col in ("TP", "FP", "FN"):
+            table.add_column(col, per[col])
+        print(table.get_string())
         print(f"panoptic ({'mask-cls' if mask_path else 'all-stuff'}): "
               f"PQ={pan_metrics['PQ']:.2f} SQ={pan_metrics['SQ']:.2f} "
               f"RQ={pan_metrics['RQ']:.2f}  "
