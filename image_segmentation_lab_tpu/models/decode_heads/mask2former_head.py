@@ -95,22 +95,41 @@ class Mask2FormerHead(MaskFormerHead):
         self.level_embed = create_param(self, "level_embed", _W_INIT,
                                         (self.num_scales, C), True)
 
-    def _predict(self, x, mask_features):
+    def _embed(self, x):
+        """Query embeddings → (cls logits, mask-embedding vectors)."""
         cls = self.cls_embed(self.decoder_norm(x))
         emb = self.decoder_norm(x)
         for i, fc in enumerate(self.mask_embed):
             emb = fc(emb)
             if i < 2:
                 emb = nn.relu(emb)
+        return cls, emb
+
+    def _predict(self, x, mask_features):
+        cls, emb = self._embed(x)
         masks = jnp.einsum("nqc,nhwc->nqhw", emb, mask_features)
         return cls, masks
 
-    def _attn_blocked(self, mask_logits, hw):
-        """(N, Q, h, w) logits → (N, Q, h_l*w_l) bool blocked map at the
-        target level resolution."""
-        m = resize(jnp.transpose(mask_logits, (0, 2, 3, 1)), size=hw,
-                   mode="bilinear", align_corners=False)
-        m = jnp.transpose(m, (0, 3, 1, 2))
+    def _attn_blocked(self, emb, level_mask_feat):
+        """Attention-blocked map at LEVEL resolution, computed directly
+        from the (N, Q, C) mask embeddings and the level-resized mask
+        features → (N, Q, h_l*w_l) bool.
+
+        TPU-native restructure (upstream resizes each layer's
+        1/4-resolution mask LOGITS down to the level): bilinear resize
+        is linear in the channel dot product, so
+        ``resize(einsum(emb, F)) == einsum(emb, resize(F))`` exactly —
+        resizing the (N, h, w, C) mask features ONCE per level replaces
+        a per-layer (N, Q, H/4, W/4) logit materialization + Q-channel
+        resize, and at inference XLA then dead-code-eliminates every
+        intermediate full-resolution prediction (only the last feeds
+        the semantic output).  On its own a small win (133 → 136 img/s
+        b16×640²); combined with the chunked cross-attention
+        (``ops/attention.chunked_softmax_attention`` — the real
+        bottleneck was an XLA lowering cliff in the monolithic masked
+        attention) Mask2Former-R50 eval went **132 → 349 img/s**
+        (docs/PERF.md round 4)."""
+        m = jnp.einsum("nqc,nhwc->nqhw", emb, level_mask_feat)
         blocked = jax.nn.sigmoid(m.astype(jnp.float32)) < \
             self.mask_attn_threshold
         return blocked.reshape(m.shape[0], m.shape[1], -1)
@@ -123,7 +142,7 @@ class Mask2FormerHead(MaskFormerHead):
         S = min(self.num_scales, len(levels))
         N = mask_features.shape[0]
 
-        memories, mem_poss, sizes = [], [], []
+        memories, mem_poss, level_mask_feats = [], [], []
         for li in range(S):
             lvl = levels[li]                      # coarsest first
             h, w = lvl.shape[1:3]
@@ -132,7 +151,12 @@ class Mask2FormerHead(MaskFormerHead):
                 self.level_embed[li].astype(lvl.dtype)
             memories.append(mem)
             mem_poss.append(pos.reshape(1, h * w, C))
-            sizes.append((h, w))
+            # mask features pre-resized to the level grid — the exact
+            # commuted form of upstream's per-layer logit resize (see
+            # _attn_blocked)
+            level_mask_feats.append(resize(mask_features, size=(h, w),
+                                           mode="bilinear",
+                                           align_corners=False))
 
         query_pos = jnp.broadcast_to(
             self.query_embed[None].astype(mask_features.dtype),
@@ -141,16 +165,22 @@ class Mask2FormerHead(MaskFormerHead):
             self.query_feat[None].astype(mask_features.dtype),
             (N, self.num_queries, C))
 
-        all_cls, all_masks = [], []
-        cls0, masks0 = self._predict(x, mask_features)
+        all_cls, all_embs = [], []
+        cls0, emb0 = self._embed(x)
         all_cls.append(cls0)
-        all_masks.append(masks0)
+        all_embs.append(emb0)
         for i, layer in enumerate(self.decoder_layers):
             li = i % S
-            blocked = self._attn_blocked(all_masks[-1], sizes[li])
+            blocked = self._attn_blocked(all_embs[-1],
+                                         level_mask_feats[li])
             x = layer(x, memories[li], query_pos, mem_poss[li], blocked,
                       train=train)
-            cls_i, masks_i = self._predict(x, mask_features)
+            cls_i, emb_i = self._embed(x)
             all_cls.append(cls_i)
-            all_masks.append(masks_i)
+            all_embs.append(emb_i)
+        # full-resolution mask logits per prediction; at inference only
+        # the last survives DCE (the blocked maps above no longer pin
+        # the intermediates)
+        all_masks = [jnp.einsum("nqc,nhwc->nqhw", emb, mask_features)
+                     for emb in all_embs]
         return all_cls, all_masks

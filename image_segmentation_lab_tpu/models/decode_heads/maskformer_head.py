@@ -51,6 +51,7 @@ from flax import linen as nn
 
 from ...core.registry_hub import DECODEHEAD
 from ...core.initialize.init_functions import constant_, trunc_normal_
+from ...ops.attention import _CHUNKED_MIN_SCORES, chunked_softmax_attention
 from ...ops.matching import auction_assignment
 from ...ops.point_sample import point_sample
 from ...utils.ops import resize
@@ -107,14 +108,21 @@ class CrossAttention(nn.Module):
                    name="k_proj")(k_in).reshape(N, Lk, h, d)
         v = Linear(C, C, weight_init=_W_INIT, bias_init=_ZEROS,
                    name="v_proj")(v_in).reshape(N, Lk, h, d)
-        scores = jnp.einsum("nlhd,nshd->nhls", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(d)
-        if blocked is not None:
-            keep = ~blocked | jnp.all(blocked, axis=-1, keepdims=True)
-            scores = jnp.where(keep[:, None], scores, -1e30)
-        attn = nn.softmax(scores, axis=-1)
-        out = jnp.einsum("nhls,nshd->nlhd", attn.astype(v.dtype), v)
+        if N * h * Lq * Lk >= _CHUNKED_MIN_SCORES:
+            # above the measured XLA cliff (25 ms -> ~1 ms on
+            # Mask2Former's 1/8-level masked cross-attention; see
+            # ops/attention.chunked_softmax_attention + docs/PERF.md)
+            out = chunked_softmax_attention(q, k, v, 1.0 / math.sqrt(d),
+                                            blocked=blocked)
+        else:
+            scores = jnp.einsum("nlhd,nshd->nhls", q, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(d)
+            if blocked is not None:
+                keep = ~blocked | jnp.all(blocked, axis=-1, keepdims=True)
+                scores = jnp.where(keep[:, None], scores, -1e30)
+            attn = nn.softmax(scores, axis=-1)
+            out = jnp.einsum("nhls,nshd->nlhd", attn.astype(v.dtype), v)
         return Linear(C, C, weight_init=_W_INIT, bias_init=_ZEROS,
                       name="out_proj")(out.reshape(N, Lq, C))
 

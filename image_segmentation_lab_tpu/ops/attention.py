@@ -143,3 +143,79 @@ def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     out = flash_attention(qf, kf, vf, scale, bq, bk,
                           force == "interpret")
     return jnp.swapaxes(out.reshape(N, h, Lq, d), 1, 2)
+
+
+# Score-tensor element count above which the monolithic
+# scores→softmax→matmul chain falls off an XLA cliff on TPU: measured on
+# Mask2Former's masked cross-attention (N=16, h=8, Lq=100, Lk=6400 —
+# 82M f32 score elements), the monolithic form runs 25 ms where the same
+# math chunked over the key axis runs ~1 ms; at 20M elements (Lk=1600)
+# both are at the noise floor.  docs/PERF.md round 4.
+_CHUNKED_MIN_SCORES = 1 << 25
+_CHUNK_K = 1600
+
+
+def chunked_softmax_attention(q: jnp.ndarray, k: jnp.ndarray,
+                              v: jnp.ndarray, scale: float,
+                              blocked: jnp.ndarray | None = None,
+                              chunk: int = _CHUNK_K) -> jnp.ndarray:
+    """Exact softmax(q k^T * scale) v with an ONLINE softmax over key
+    chunks — pure XLA (lax.scan), no Pallas, differentiable, maskable.
+
+    q (N, Lq, h, d); k/v (N, Lk, h, d); ``blocked`` (N, Lq, Lk) bool —
+    True keys get -inf score, rows that block EVERYTHING fall back to
+    full attention (the Mask2Former upstream safeguard).  Lk is padded
+    to a chunk multiple; pad keys are masked out.
+
+    Why this exists: for huge score tensors XLA's monolithic
+    matmul→softmax→matmul lowering collapses (25 ms where this runs
+    ~1 ms at Mask2Former's 1/8-level masked cross-attention — the
+    measured cliff behind ``_CHUNKED_MIN_SCORES``), and the Pallas flash
+    kernel both lacks a mask operand and loses 5x to this form at tiny
+    Lq (its q-block padding wastes the MXU).  The chunked scan keeps
+    every intermediate at (N, h, Lq, chunk) so nothing big ever
+    materializes.
+    """
+    N, Lq, h, d = q.shape
+    Lk = k.shape[1]
+    nch = -(-Lk // chunk)
+    pad = nch * chunk - Lk
+    if blocked is not None:
+        # fully-blocked rows attend everywhere (upstream safeguard) —
+        # resolved ONCE, before chunking
+        blocked = blocked & ~jnp.all(blocked, axis=-1, keepdims=True)
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        if blocked is None:
+            blocked = jnp.zeros((N, Lq, Lk), bool)
+        blocked = jnp.pad(blocked, ((0, 0), (0, 0), (0, pad)),
+                          constant_values=True)
+    kc = k.reshape(N, nch, chunk, h, d)
+    vc = v.reshape(N, nch, chunk, h, d)
+    bc = (blocked.reshape(N, Lq, nch, chunk)
+          if blocked is not None else None)
+
+    def body(carry, ci):
+        m, s_sum, o = carry
+        kk = jax.lax.dynamic_index_in_dim(kc, ci, 1, keepdims=False)
+        vv = jax.lax.dynamic_index_in_dim(vc, ci, 1, keepdims=False)
+        sc = jnp.einsum("nlhd,nshd->nhls", q, kk,
+                        preferred_element_type=jnp.float32) * scale
+        if bc is not None:
+            bb = jax.lax.dynamic_index_in_dim(bc, ci, 2, keepdims=False)
+            sc = jnp.where(bb[:, None], -1e30, sc)   # (N,1,Lq,chunk)
+        m_new = jnp.maximum(m, sc.max(-1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(sc - m_new[..., None])
+        s_new = s_sum * alpha + p.sum(-1)
+        o_new = o * alpha[..., None] + jnp.einsum(
+            "nhls,nshd->nhld", p.astype(vv.dtype), vv)
+        return (m_new, s_new, o_new), None
+
+    m0 = jnp.full((N, h, Lq), -jnp.inf, jnp.float32)
+    s0 = jnp.zeros((N, h, Lq), jnp.float32)
+    o0 = jnp.zeros((N, h, Lq, d), jnp.float32)
+    (m, s_sum, o), _ = jax.lax.scan(body, (m0, s0, o0), jnp.arange(nch))
+    out = o / jnp.maximum(s_sum, 1e-30)[..., None]
+    return jnp.swapaxes(out, 1, 2).astype(v.dtype)     # (N, Lq, h, d)

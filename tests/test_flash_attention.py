@@ -202,3 +202,93 @@ def test_flash_spmd_single_device_jit_unchanged(rng):
     ref = _naive(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-6, rtol=1e-5)
+
+
+# ------------------------------------------- chunked online softmax
+
+def _reference_attention(q, k, v, scale, blocked=None):
+    s = jnp.einsum("nlhd,nshd->nhls", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * scale
+    if blocked is not None:
+        keep = ~blocked | jnp.all(blocked, axis=-1, keepdims=True)
+        s = jnp.where(keep[:, None], s, -1e30)
+    p = jax.nn.softmax(s, -1)
+    return jnp.einsum("nhls,nshd->nlhd", p, v.astype(jnp.float32))
+
+
+def test_chunked_attention_matches_monolithic():
+    from image_segmentation_lab_tpu.ops.attention import \
+        chunked_softmax_attention
+    r = np.random.RandomState(0)
+    N, Lq, Lk, h, d = 2, 5, 23, 2, 8     # Lk NOT a chunk multiple
+    q = jnp.asarray(r.randn(N, Lq, h, d).astype(np.float32))
+    k = jnp.asarray(r.randn(N, Lk, h, d).astype(np.float32))
+    v = jnp.asarray(r.randn(N, Lk, h, d).astype(np.float32))
+    got = chunked_softmax_attention(q, k, v, 0.35, chunk=7)
+    want = _reference_attention(q, k, v, 0.35)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_attention_masked_and_fully_blocked_fallback():
+    from image_segmentation_lab_tpu.ops.attention import \
+        chunked_softmax_attention
+    r = np.random.RandomState(1)
+    N, Lq, Lk, h, d = 2, 4, 20, 2, 8
+    q = jnp.asarray(r.randn(N, Lq, h, d).astype(np.float32))
+    k = jnp.asarray(r.randn(N, Lk, h, d).astype(np.float32))
+    v = jnp.asarray(r.randn(N, Lk, h, d).astype(np.float32))
+    blocked = r.rand(N, Lq, Lk) > 0.5
+    blocked[0, 1, :] = True    # fully-blocked row -> full attention
+    blocked = jnp.asarray(blocked)
+    got = chunked_softmax_attention(q, k, v, 0.5, blocked=blocked, chunk=8)
+    want = _reference_attention(q, k, v, 0.5, blocked=blocked)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_attention_gradients_match():
+    from image_segmentation_lab_tpu.ops.attention import \
+        chunked_softmax_attention
+    r = np.random.RandomState(2)
+    N, Lq, Lk, h, d = 1, 3, 10, 2, 4
+    q = jnp.asarray(r.randn(N, Lq, h, d).astype(np.float32))
+    k = jnp.asarray(r.randn(N, Lk, h, d).astype(np.float32))
+    v = jnp.asarray(r.randn(N, Lk, h, d).astype(np.float32))
+    blocked = jnp.asarray(r.rand(N, Lq, Lk) > 0.6)
+
+    def loss_chunked(q, k, v):
+        return (chunked_softmax_attention(q, k, v, 0.5, blocked=blocked,
+                                          chunk=4) ** 2).sum()
+
+    def loss_ref(q, k, v):
+        return (_reference_attention(q, k, v, 0.5, blocked=blocked)
+                ** 2).sum()
+
+    g1 = jax.grad(loss_chunked, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_cross_attention_routes_large_scores_to_chunked(monkeypatch):
+    """Above the cliff threshold CrossAttention must produce the same
+    output through the chunked path (threshold lowered so tiny test
+    shapes cross it)."""
+    import image_segmentation_lab_tpu.models.decode_heads.maskformer_head \
+        as mf
+    from image_segmentation_lab_tpu.models.decode_heads.maskformer_head \
+        import CrossAttention
+    r = np.random.RandomState(3)
+    N, Lq, Lk, C, h = 2, 6, 40, 16, 2
+    att = CrossAttention(C, h)
+    qx = jnp.asarray(r.randn(N, Lq, C).astype(np.float32))
+    kx = jnp.asarray(r.randn(N, Lk, C).astype(np.float32))
+    blocked = jnp.asarray(r.rand(N, Lq, Lk) > 0.5)
+    vars_ = att.init(jax.random.PRNGKey(0), qx, kx, kx, blocked=blocked)
+    want = att.apply(vars_, qx, kx, kx, blocked=blocked)
+    monkeypatch.setattr(mf, "_CHUNKED_MIN_SCORES", 1)
+    got = att.apply(vars_, qx, kx, kx, blocked=blocked)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -265,3 +265,25 @@ def test_mask2former_config_builds():
     variables = seg.init(jax.random.PRNGKey(0), x, method="encode_decode")
     out = seg.apply(variables, x, method="encode_decode", mutable=False)
     assert out.shape == (1, 64, 64, 2)
+
+
+def test_attn_mask_level_einsum_commutes_with_resize(rng):
+    """The round-4 restructure computes attention masks from
+    level-resized mask FEATURES instead of resizing each layer's mask
+    LOGITS (upstream's form).  Bilinear resize is linear in the channel
+    dot product, so the two are mathematically identical — pinned here
+    so the equivalence argument stays tested."""
+    from image_segmentation_lab_tpu.utils.ops import resize
+    N, Q, H, W, C = 2, 5, 16, 16, 8
+    emb = jnp.asarray(rng.randn(N, Q, C).astype(np.float32))
+    feat = jnp.asarray(rng.randn(N, H, W, C).astype(np.float32))
+    full = jnp.einsum("nqc,nhwc->nqhw", emb, feat)
+    resized_logits = resize(jnp.transpose(full, (0, 2, 3, 1)), size=(4, 4),
+                            mode="bilinear", align_corners=False)
+    level_feat = resize(feat, size=(4, 4), mode="bilinear",
+                        align_corners=False)
+    level_logits = jnp.einsum("nqc,nhwc->nqhw", emb, level_feat)
+    np.testing.assert_allclose(np.asarray(resized_logits),
+                               np.asarray(jnp.transpose(level_logits,
+                                                        (0, 2, 3, 1))),
+                               rtol=1e-5, atol=1e-5)
