@@ -51,7 +51,8 @@ from flax import linen as nn
 
 from ...core.registry_hub import DECODEHEAD
 from ...core.initialize.init_functions import constant_, trunc_normal_
-from ...ops.attention import _CHUNKED_MIN_SCORES, chunked_softmax_attention
+from ...ops.attention import (_CHUNKED_MAX_LQ, _CHUNKED_MIN_SCORES,
+                              chunked_softmax_attention)
 from ...ops.matching import auction_assignment
 from ...ops.point_sample import point_sample
 from ...utils.ops import resize
@@ -108,8 +109,9 @@ class CrossAttention(nn.Module):
                    name="k_proj")(k_in).reshape(N, Lk, h, d)
         v = Linear(C, C, weight_init=_W_INIT, bias_init=_ZEROS,
                    name="v_proj")(v_in).reshape(N, Lk, h, d)
-        if N * h * Lq * Lk >= _CHUNKED_MIN_SCORES:
-            # above the measured XLA cliff (25 ms -> ~1 ms on
+        if (N * h * Lq * Lk >= _CHUNKED_MIN_SCORES
+                and Lq <= _CHUNKED_MAX_LQ):
+            # above the measured tiny-Lq XLA cliff (25 ms -> ~1 ms on
             # Mask2Former's 1/8-level masked cross-attention; see
             # ops/attention.chunked_softmax_attention + docs/PERF.md)
             out = chunked_softmax_attention(q, k, v, 1.0 / math.sqrt(d),

@@ -146,12 +146,18 @@ def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 # Score-tensor element count above which the monolithic
-# scores→softmax→matmul chain falls off an XLA cliff on TPU: measured on
-# Mask2Former's masked cross-attention (N=16, h=8, Lq=100, Lk=6400 —
-# 82M f32 score elements), the monolithic form runs 25 ms where the same
-# math chunked over the key axis runs ~1 ms; at 20M elements (Lk=1600)
-# both are at the noise floor.  docs/PERF.md round 4.
+# scores→softmax→matmul chain falls off an XLA cliff on TPU — but ONLY
+# in the tiny-Lq (decoder-query) regime: measured on Mask2Former's
+# masked cross-attention (N=16, h=8, Lq=100, Lk=6400 — 82M f32 score
+# elements) the monolithic form runs 25 ms where the same math chunked
+# over the key axis runs ~1 ms; at 20M elements (Lk=1600) both are at
+# the noise floor.  Large-Lq self-attention does NOT cliff: at SETR's
+# (N=8, h=6, Lq=Lk=1601 — 123M elements) the monolithic form is
+# 1.45 ms and chunking LOSES (5.1 ms scan overhead + pad waste), so the
+# einsum fallback elsewhere stays monolithic.  `_CHUNKED_MAX_LQ` gates
+# the routing to the decoder regime.  docs/PERF.md round 4.
 _CHUNKED_MIN_SCORES = 1 << 25
+_CHUNKED_MAX_LQ = 1024
 _CHUNK_K = 1600
 
 
