@@ -13,6 +13,13 @@ naming and layout so ``--load-from`` / ``PretrainedInit`` work:
   ASPP/PPM branch indices → ``branches_K``, deep-stem Sequential indices →
   ``stem_K`` (ReLU slots removed);
 * norm ``num_batches_tracked`` dropped (our BatchNorm has fixed momentum);
+* reference MobileNetV2 (``layer{i}.{j}.conv.{k}`` InvertedResidual
+  Sequentials → ``stages_{i-1}_{j}.conv_{k}``), MobileNetV3 (top-level
+  ``layer{i}`` stages → the ``layers_{i}`` list; gated on the
+  ``linear_conv`` marker) and ICNet (``conv_sub1.{j}`` → ``conv_sub1_{j}``,
+  ``psp_modules.{i}.1`` → ``psp_modules.branches_{i}``, wrapped backbone
+  rides the ResNet rules) — so every checkpoint the reference lab's own
+  ``save_model`` (utils/train_utils.py:160-165) can emit now converts;
 * upstream ViT checkpoints in timm naming (``blocks.N``, ``mlp.fc1/2``,
   ``patch_embed.proj``, top-level ``norm``) and mmseg naming
   (``layers.N.ln1/ln2``, ``attn.attn.in_proj_*``/``out_proj``,
@@ -118,6 +125,19 @@ POOLFORMER_RULES = [
     (re.compile(r"\.mlp\.fc2\."), ".fc2."),
 ]
 
+# MobileNetV3-only rule (gated on the `.linear_conv.` InvertedResidualV3
+# marker, which exists in no other family): the reference names every
+# stage — stem ConvModule, InvertedResidualV3 blocks, final 1x1 — a
+# top-level `layer{i}` (mobilenet_v3.py:139-206; mmseg/mmcv identical);
+# ours is one linen list field → `layers_{i}`.  Block internals
+# (expand_conv/depthwise_conv/se.conv1/conv2/linear_conv) already share
+# names.  Ungated, `layer\d` would collide with the ResNet-family rules.
+MOBILENETV3_RULES = [
+    (re.compile(r"\blayer(\d+)\."), r"layers_\1."),
+]
+
+_MNV3_MARKER = re.compile(r"\.linear_conv\.")
+
 # avg-down residual downsample (ResNeSt, and mmseg ResNet variants saved
 # with avg_down=True): Sequential(AvgPool2d, conv, bn) — the conv sits at
 # index 1 and the bn at 2 (the pool has no params), unlike the plain
@@ -194,6 +214,19 @@ RENAME_RULES = [
     (re.compile(r"\btransition(\d+)\.(\d+)\.([01])\."),
      lambda m: (f"transitions_{int(m.group(1)) - 1}_{m.group(2)}"
                 f".{'conv' if m.group(3) == '0' else 'bn'}.")),
+    # ---- reference MobileNetV2 (mobilenet_v2.py:131-146; mmseg/mmcv
+    # use the identical InvertedResidual naming): layer{i} is a
+    # Sequential of blocks whose ConvModule stack is the inner `conv.{k}`
+    # Sequential → our stages_{i-1}_{j}.conv_{k} list tree.  The
+    # `.conv.{digit}.` chain exists in no ResNet-family key (their convs
+    # are the named conv1/conv2/conv3), so this can safely precede the
+    # generic residual-stage rule below ----
+    (re.compile(r"\blayer(\d+)\.(\d+)\.conv\.(\d+)\."),
+     lambda m: (f"stages_{int(m.group(1)) - 1}_{m.group(2)}"
+                f".conv_{m.group(3)}.")),
+    # ---- reference ICNet (icnet.py:105-130): conv_sub1 is a Sequential
+    # of 3 ConvModules → our conv_sub1_{j} list fields ----
+    (re.compile(r"\b(conv_sub\d+)\.(\d+)\."), r"\1_\2."),
     # residual stages: layer1.0.conv1 → layer1.blocks_0.conv1
     (re.compile(r"(layer\d+)\.(\d+)\."), r"\1.blocks_\2."),
     # block downsample Sequential → named fields
@@ -202,10 +235,12 @@ RENAME_RULES = [
     # FCN head conv stack
     (re.compile(r"\.convs\.(\d+)\."), r".convs_\1."),
     # ASPP / PPM branches: aspp_modules.0 → aspp_modules.branches_0
-    (re.compile(r"\.(aspp_modules|psp_modules)\.(\d+)\."),
-     r".\1.branches_\2."),
+    # (\b, not \., so ICNet backbone-only state_dicts whose psp_modules
+    # sit at the key root convert too)
+    (re.compile(r"\b(aspp_modules|psp_modules)\.(\d+)\."),
+     r"\1.branches_\2."),
     # PPM branch Sequential(AdaptiveAvgPool2d, ConvModule): drop the `.1`
-    (re.compile(r"\.psp_modules\.(branches_\d+)\.1\."), r".psp_modules.\1."),
+    (re.compile(r"\bpsp_modules\.(branches_\d+)\.1\."), r"psp_modules.\1."),
     # ASPP image pool Sequential(AdaptiveAvgPool2d, ConvModule)
     (re.compile(r"\.image_pool\.1\."), ".image_pool_conv."),
     # deep stem Sequential (conv,bn,relu)x3 at indices 0,1,3,4,6,7
@@ -356,7 +391,8 @@ def resample_rel_pos_tables(sd: dict, dst_grid: int) -> dict:
 
 
 def convert_key(key: str, swin: bool = False, convnext: bool = False,
-                poolformer: bool = False, avg_down: bool = False) -> str:
+                poolformer: bool = False, avg_down: bool = False,
+                mobilenetv3: bool = False) -> str:
     key = re.sub(r"^module\.", "", key)
     if swin:
         key = _FINAL_NORM.sub("norm3.", key)
@@ -368,6 +404,9 @@ def convert_key(key: str, swin: bool = False, convnext: bool = False,
             key = pattern.sub(repl, key)
     if avg_down:
         for pattern, repl in AVGDOWN_RULES:
+            key = pattern.sub(repl, key)
+    if mobilenetv3:
+        for pattern, repl in MOBILENETV3_RULES:
             key = pattern.sub(repl, key)
     for pattern, repl in RENAME_RULES:
         key = pattern.sub(repl, key)
@@ -538,7 +577,12 @@ def convert_state_dict(torch_sd: dict) -> dict:
             any(".attn.sr." in k or ".ffn.layers." in k for k in torch_sd):
         return _convert_mit_state_dict(torch_sd)
     out = {}
-    convnext = any(_CONVNEXT_MARKER.search(k) for k in torch_sd)
+    # MNv3's InvertedResidualV3 also carries `depthwise_conv` keys, so
+    # its marker must veto the ConvNeXt gate (linear_conv exists in no
+    # ConvNeXt checkpoint; pointwise_conv in no MNv3 one)
+    mobilenetv3 = any(_MNV3_MARKER.search(k) for k in torch_sd)
+    convnext = not mobilenetv3 and any(
+        _CONVNEXT_MARKER.search(k) for k in torch_sd)
     swin = not convnext and any(_SWIN_MARKER.search(k) for k in torch_sd)
     poolformer = any(re.search(r"\bnetwork\.\d+\.", k) for k in torch_sd)
     avg_down = any(".downsample.2." in k for k in torch_sd)
@@ -551,7 +595,8 @@ def convert_state_dict(torch_sd: dict) -> dict:
         # transpose decisions use the CONVERTED key so fused projections
         # that torch names `in_proj_weight` (→ `qkv.weight`) transpose too
         new_key = convert_key(key, swin=swin, convnext=convnext,
-                              poolformer=poolformer, avg_down=avg_down)
+                              poolformer=poolformer, avg_down=avg_down,
+                              mobilenetv3=mobilenetv3)
         out[new_key] = convert_tensor(new_key, value)
     return out
 
