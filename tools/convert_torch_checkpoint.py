@@ -214,6 +214,41 @@ RENAME_RULES = [
     (re.compile(r"\btransition(\d+)\.(\d+)\.([01])\."),
      lambda m: (f"transitions_{int(m.group(1)) - 1}_{m.group(2)}"
                 f".{'conv' if m.group(3) == '0' else 'bn'}.")),
+    # ---- mmseg BiSeNetV2 (bisenetv2.py): DetailBranch ModuleList of
+    # ConvModule Sequentials, SemanticBranch named stages (stage1 =
+    # StemBlock, stage2..4 = GELayer Sequentials, stage4_CEBlock),
+    # BGALayer's Sequential(dw ConvModule, raw 1x1 Conv2d) pairs ----
+    (re.compile(r"\bdetail\.detail_branch\.(\d+)\.(\d+)\."),
+     r"detail.stage\1_conv\2."),
+    (re.compile(r"\bsemantic\.stage1\.convs\.(\d)\."),
+     r"semantic.stem.convs_\1."),
+    (re.compile(r"\bsemantic\.stage1\."), "semantic.stem."),
+    (re.compile(r"\bsemantic\.stage\d+_CEBlock\.gap\.1\."),
+     "semantic.ce.gap_norm."),
+    (re.compile(r"\bsemantic\.stage\d+_CEBlock\."), "semantic.ce."),
+    (re.compile(r"\bsemantic\.stage(\d+)\.(\d+)\."),
+     lambda m: f"semantic.stage{int(m.group(1)) - 1}_ge{m.group(2)}."),
+    (re.compile(r"(_ge\d+)\.dwconv\.(\d)\."), r"\1.dwconv_\2."),
+    (re.compile(r"(_ge\d+)\.conv2\.0\."), r"\1.conv2."),
+    (re.compile(r"(_ge\d+)\.shortcut\.0\.depthwise_conv\."),
+     r"\1.shortcut_dw."),
+    (re.compile(r"(_ge\d+)\.shortcut\.0\.pointwise_conv\."),
+     r"\1.shortcut_pw."),
+    (re.compile(r"\bbga\.(detail_dwconv|semantic_dwconv)\.0\."),
+     r"bga.\1."),
+    (re.compile(r"\bbga\.(detail_dwconv|semantic_dwconv)\.1\."),
+     r"bga.\1_pw."),
+    (re.compile(r"\bbga\.(detail_down|semantic_conv)\.0\."), r"bga.\1."),
+    # ---- mmseg BiSeNetV1 (bisenetv1.py): SpatialPath's named layer{i}
+    # ConvModules, ARM's Sequential(pool, ConvModule), FFM's
+    # Sequential(ConvModule, Sigmoid) attention, ContextPath's
+    # Sequential(pool, ConvModule) gap; the wrapped ResNet rides the
+    # generic ResNet rules ----
+    (re.compile(r"\bspatial_path\.layer(\d+)\."),
+     lambda m: f"spatial_path.layers_{int(m.group(1)) - 1}."),
+    (re.compile(r"\.atten_conv_layer\.1\."), ".atten_conv."),
+    (re.compile(r"\bffm\.conv_atten\.0\."), "ffm.conv_atten."),
+    (re.compile(r"\.gap_conv\.1\."), ".gap_conv."),
     # ---- reference MobileNetV2 (mobilenet_v2.py:131-146; mmseg/mmcv
     # use the identical InvertedResidual naming): layer{i} is a
     # Sequential of blocks whose ConvModule stack is the inner `conv.{k}`
@@ -478,6 +513,45 @@ def _convert_twins_state_dict(torch_sd: dict) -> dict:
     return out
 
 
+# mmseg MSCAN (SegNeXt): StemConv proj Sequential [conv,bn,gelu,conv,bn],
+# OverlapPatchEmbed proj+norm, 1-indexed block{i}.{j} with BN norms,
+# MSCA gate convs, Mlp with a nested dwconv module.  A dedicated
+# function (not RENAME_RULES) because `.mlp.fc1.` must SURVIVE here —
+# the generic ViT rules would strip the `mlp.` prefix.
+_MSCAN_MARKER = re.compile(r"spatial_gating_unit")
+
+
+def _convert_mscan_key(key: str) -> str:
+    key = re.sub(r"^module\.", "", key)
+    key = re.sub(r"\bpatch_embed1\.proj\.0\.", "stem_conv1.", key)
+    key = re.sub(r"\bpatch_embed1\.proj\.1\.", "patch_embeds_0_1.", key)
+    key = re.sub(r"\bpatch_embed1\.proj\.3\.", "stem_conv2.", key)
+    key = re.sub(r"\bpatch_embed1\.proj\.4\.", "patch_embeds_0_3.", key)
+    key = re.sub(r"\bpatch_embed(\d+)\.proj\.",
+                 lambda m: f"embed{int(m.group(1)) - 1}_conv.", key)
+    key = re.sub(r"\bpatch_embed(\d+)\.norm\.",
+                 lambda m: f"patch_embeds_{int(m.group(1)) - 1}_1.", key)
+    key = re.sub(r"\bblock(\d+)\.(\d+)\.",
+                 lambda m: (f"stage{int(m.group(1)) - 1}"
+                            f"_block{m.group(2)}."), key)
+    key = key.replace(".mlp.dwconv.dwconv.", ".mlp.dwconv.")
+    # per-stage out LayerNorms are 1-indexed upstream; head keys keep
+    # their own norms (anchored to the key root / backbone prefix)
+    key = re.sub(r"(^|(?<=backbone\.))norm(\d+)\.",
+                 lambda m: f"norm{int(m.group(2)) - 1}.", key)
+    return key
+
+
+def _convert_mscan_state_dict(torch_sd: dict) -> dict:
+    out = {}
+    for key, value in torch_sd.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        k = _convert_mscan_key(key)
+        out[k] = convert_tensor(k, value)
+    return out
+
+
 _MF_HEAD_MARKER = re.compile(
     r"transformer_decoder\.|pixel_decoder\.|\bquery_embed\.|\bquery_feat\."
     r"|\blevel_embed\.|\bcls_embed\.|\bmask_embed\.")
@@ -573,15 +647,19 @@ def convert_state_dict(torch_sd: dict) -> dict:
         return out
     if any("position_encodings." in k for k in torch_sd):
         return _convert_twins_state_dict(torch_sd)
+    if any(_MSCAN_MARKER.search(k) for k in torch_sd):
+        return _convert_mscan_state_dict(torch_sd)
     if any(_MIT_MARKER.search(k) for k in torch_sd) and \
             any(".attn.sr." in k or ".ffn.layers." in k for k in torch_sd):
         return _convert_mit_state_dict(torch_sd)
     out = {}
-    # MNv3's InvertedResidualV3 also carries `depthwise_conv` keys, so
-    # its marker must veto the ConvNeXt gate (linear_conv exists in no
-    # ConvNeXt checkpoint; pointwise_conv in no MNv3 one)
+    # MNv3's InvertedResidualV3 and BiSeNetV2's GELayer shortcut also
+    # carry `depthwise_conv`/`pointwise_conv` keys, so their markers
+    # must veto the ConvNeXt gate (linear_conv / detail_branch exist in
+    # no ConvNeXt checkpoint)
     mobilenetv3 = any(_MNV3_MARKER.search(k) for k in torch_sd)
-    convnext = not mobilenetv3 and any(
+    bisenetv2 = any("detail_branch" in k for k in torch_sd)
+    convnext = not mobilenetv3 and not bisenetv2 and any(
         _CONVNEXT_MARKER.search(k) for k in torch_sd)
     swin = not convnext and any(_SWIN_MARKER.search(k) for k in torch_sd)
     poolformer = any(re.search(r"\bnetwork\.\d+\.", k) for k in torch_sd)
