@@ -58,6 +58,16 @@ naming and layout so ``--load-from`` / ``PretrainedInit`` work:
   ``attn.attn.in_proj`` splits into q/kv 1x1 convs (the layers subclass
   MiT's EfficientMultiheadAttention upstream too), LSA window layers
   keep Linear qkv; ``position_encodings.N.proj.0`` → ``peg{i}``;
+* SegNeXt/MSCAN (mmseg naming): StemConv Sequential, OverlapPatchEmbed
+  proj/norm, 1-indexed blocks, nested mlp.dwconv — a dedicated key
+  function so block ``mlp.fc1`` survives the generic ViT rules;
+* BiSeNetV1 (SpatialPath named layers, ARM/FFM/gap Sequential indices;
+  wrapped ResNet rides the ResNet rules) and BiSeNetV2 (DetailBranch
+  list, semantic stage1/stage4_CEBlock naming, GELayer dwconv/conv2/
+  shortcut Sequentials, BGALayer conv pairs).  PIDNet/DDRNet/STDC are
+  deliberately NOT mapped: this repo's expansion-4 Bottleneck (PIDNet/
+  DDRNet divergence (b)) and avgpool-skip STDCModule give tensors
+  upstream checkpoints cannot fill shape-for-shape (docs/NEXT.md);
 * MaskFormer / Mask2Former heads (mmseg-1.x/mmdet naming): fused
   decoder ``in_proj`` splits into q/k/v_proj Linears with the
   self/cross role swap between the two layer orders handled;
