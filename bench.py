@@ -355,12 +355,19 @@ def main():
     segnext_ips = None
     pidnet_ips = None
     mask2former_ips = None
+    mask2former_train_ips = None
     if not args.quick and not args.no_zoo_bench:
         # SegFormer-B0 train: transformer backward pass through the
         # flash-attention custom-VJP kernel (the bench's one train-side
         # transformer surface)
         segformer_train_ips = measure_train_config(
             "configs/network/segformer/segformer_mit-b0.py",
+            iters=max(iters, 5))
+        # Mask2Former-R50 train: the mask-classification train surface —
+        # auction matching + point-sampled losses (quad-gather
+        # point_sample + dense matching costs, docs/PERF.md round 5)
+        mask2former_train_ips = measure_train_config(
+            "configs/network/maskformer/mask2former_r50.py",
             iters=max(iters, 5))
         # Mask2Former-R50: mask-classification flagship (masked attention,
         # on-device auction matching)
@@ -411,6 +418,9 @@ def main():
                 round(pidnet_ips, 3) if pidnet_ips else None),
             "mask2former_r50_whole640_images_per_sec": (
                 round(mask2former_ips, 3) if mask2former_ips else None),
+            "mask2former_r50_train640_images_per_sec": (
+                round(mask2former_train_ips, 3) if mask2former_train_ips
+                else None),
             "quick": args.quick,
         },
     }

@@ -28,11 +28,14 @@ combination.  Pieces, all static-shape jnp:
   plain BCE, ``mask_loss_type='ce'`` — Mask2Former's form) + dice on
   matched masks, deep supervision over every decoder layer
   (``d{i}.``-prefixed keys).  With ``num_points > 0`` the mask losses
-  run the upstream point-sampled arrangement: matching costs on shared
-  uniform points, per-pair importance-sampled loss points
-  (oversample → keep the most boundary-uncertain → fill uniformly;
-  one batched 4-corner gather per sampling, `ops/point_sample.py`),
-  targets read from full-resolution gt.
+  run the upstream point-sampled arrangement: per-pair
+  importance-sampled loss points (oversample → keep the most
+  boundary-uncertain → fill uniformly; one batched 2x2-patch gather
+  per sampling, `ops/point_sample.py`), targets read from
+  full-resolution gt.  The MATCHING costs run densely over the mask
+  grid — the exact zero-variance expectation of upstream's
+  shared-uniform-point estimate, and MXU einsums instead of gathers
+  (see _layer_loss; docs/PERF.md round 5).
 
 Eval: semantic probabilities ``p = softmax(cls)[..., :-1] ·
 sigmoid(masks)``; the head returns ``log(p + eps)`` so the segmentor's
@@ -425,28 +428,35 @@ class MaskFormerHead(BaseDecodeHead):
 
     # ------------------------------------------------------------- losses
     def _layer_loss(self, cls_scores, mask_preds, gt_masks, valid,
-                    key=None):
+                    key=None, gt_match=None):
         """Single-image loss; vmapped over the batch.
 
         cls_scores (Q, K+1); mask_preds (Q, h, w); gt_masks (K, H, W)
         binary per-class maps (any resolution — the dense path needs it
         to equal the mask resolution; the point path samples it in
         normalized coords); valid (K,) presence; key enables the
-        point-sampled path when num_points > 0."""
+        point-sampled path when num_points > 0; gt_match (K, h, w) soft
+        (bilinear-downsampled) targets for the dense matching costs of
+        the point path."""
         K = self.num_classes
         Q = self.num_queries
         sampled = self.num_points > 0 and key is not None
         if sampled:
-            k_match, k_os, k_rand = jax.random.split(key, 3)
+            k_os, k_rand = jax.random.split(key, 2)
             Pn = self.num_points
-            # matching costs on Pn shared uniform points (upstream
-            # matcher; gt sampled bilinearly → soft targets in [0, 1])
-            pts = jax.random.uniform(k_match, (1, Pn, 2), jnp.float32)
-            mp = point_sample(
-                jnp.transpose(mask_preds, (1, 2, 0))[None], pts)[0].T
-            gm = point_sample(
-                jnp.transpose(gt_masks.astype(jnp.float32),
-                              (1, 2, 0))[None], pts)[0].T
+            # matching costs DENSELY over the mask grid.  Upstream
+            # estimates the per-pair cost by Monte Carlo on num_points
+            # shared uniform points (a GPU-memory tactic); the mean
+            # over ALL grid points is that estimator's exact
+            # expectation with zero variance, and on this chip it is
+            # also ~6x cheaper: the pair costs are (Q,P)x(K,P) MXU
+            # einsums, while the point estimate pays index-count-bound
+            # gathers (docs/PERF.md round 5 — the matching gathers
+            # were part of a 583 ms/step point-loss forward).  Matching
+            # is argmin + stop_gradient, so only the assignment (not
+            # the objective) consumes these costs.
+            mp = mask_preds.reshape(Q, -1)
+            gm = gt_match.reshape(K, -1)
         else:
             P = mask_preds.shape[-2] * mask_preds.shape[-1]
             mp = mask_preds.reshape(Q, P)
@@ -535,8 +545,14 @@ class MaskFormerHead(BaseDecodeHead):
         sampling = self.num_points > 0 and self.has_rng("dropout")
         if sampling:
             # point path: losses sample the FULL-res targets in
-            # normalized coords — no downsampling approximation
+            # normalized coords — no downsampling approximation.  The
+            # MATCHING costs run densely at mask resolution against
+            # soft (area-mean) targets — see _layer_loss
             gt_for_loss = jnp.transpose(onehot, (0, 3, 1, 2))  # (N,K,H,W)
+            h, w = all_masks[-1].shape[-2:]
+            gt_match = jnp.transpose(
+                resize(onehot, size=(h, w), mode="bilinear",
+                       align_corners=False), (0, 3, 1, 2))     # (N,K,h,w)
             base_key = self.make_rng("dropout")
         else:
             # dense path: segment targets at the mask resolution
@@ -553,7 +569,7 @@ class MaskFormerHead(BaseDecodeHead):
             if sampling:  # fresh points per layer and per image
                 keys = jax.random.split(jax.random.fold_in(base_key, li), N)
                 lc, lm, ld = jax.vmap(self._layer_loss)(
-                    cls_s, mask_p, gt_for_loss, valid, keys)
+                    cls_s, mask_p, gt_for_loss, valid, keys, gt_match)
             else:
                 lc, lm, ld = jax.vmap(self._layer_loss)(cls_s, mask_p,
                                                         gt_for_loss, valid)

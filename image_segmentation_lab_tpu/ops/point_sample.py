@@ -55,16 +55,39 @@ def point_sample(feat: jnp.ndarray, points: jnp.ndarray,
     fx = px - x0
     fy = py - y0
 
+    # ONE gather for all four bilinear taps: this chip's gather cost
+    # scales with INDEX COUNT, not slice bytes (docs/PERF.md cost
+    # model), so the 2x2 corner patch should ride a single index row.
+    # The fast FORM matters as much as the count (all measured in a
+    # 20-deep fori_loop at the Mask2Former loss-path shapes, 16 maps x
+    # 37632 points): 4 per-corner take_along_axis = 28.7 ms; a
+    # lax.gather of (2,2,C) spatial slices = 1257 ms (and a vmapped
+    # variant faulted the TPU worker outright) — spatial slice dims hit
+    # a catastrophic lowering.  Instead, concatenate the four
+    # statically-shifted corner copies on the CHANNEL axis (the
+    # GlassBlur shifted-copies trick) so every patch is one
+    # lane-contiguous row of a (N, (H+1)(W+1), 4C) array, then one
+    # take_along_axis: 5.6 ms — 5.1x over the 4-tap form.  Out-of-map
+    # corners keep exact grid_sample 'zeros' semantics via the weight
+    # mask (a clamped index only happens when that corner's weight is
+    # already zero; the 1-px zero pad supplies in-range neighbors).
+    padded = jnp.pad(feat, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [padded[:, :-1, :-1], padded[:, :-1, 1:],
+         padded[:, 1:, :-1], padded[:, 1:, 1:]], axis=-1)
+    qflat = quad.reshape(N, (H + 1) * (W + 1), 4 * C)
+    idx = (jnp.clip(y0 + 1, 0, H) * (W + 1) + jnp.clip(x0 + 1, 0, W))
+    taps = jnp.take_along_axis(qflat, idx[..., None], axis=1)
+    taps = taps.reshape(*idx.shape, 4, C)
     out = 0.0
-    for dy, wy in ((0, 1.0 - fy), (1, fy)):
-        for dx, wx in ((0, 1.0 - fx), (1, fx)):
-            ix, iy = x0 + dx, y0 + dy
-            # zeros padding: out-of-map corners contribute nothing
-            w = wx * wy * ((ix >= 0) & (ix < W)
-                           & (iy >= 0) & (iy < H)).astype(jnp.float32)
-            idx = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
-            tap = jnp.take_along_axis(flat, idx[..., None], axis=1)
-            out = out + tap.astype(jnp.float32) * w[..., None]
+    for t, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        wy = fy if dy else 1.0 - fy
+        wx = fx if dx else 1.0 - fx
+        ix, iy = x0 + dx, y0 + dy
+        # zeros padding: out-of-map corners contribute nothing
+        w = wx * wy * ((ix >= 0) & (ix < W)
+                       & (iy >= 0) & (iy < H)).astype(jnp.float32)
+        out = out + taps[..., t, :].astype(jnp.float32) * w[..., None]
     return out.astype(feat.dtype)
 
 

@@ -73,11 +73,12 @@ def _gsample(maps, pts):
 
 
 def test_point_layer_loss_matches_torch_scipy_rederivation(rng):
-    """Full point-path golden: the jax _layer_loss (uniform matching
-    points → bce+dice costs → auction matching → importance-sampled
-    loss points → bce+dice losses) against an independent torch +
-    scipy re-derivation that shares ONLY the rng draws.  gt rides a
-    different (full) resolution than the mask logits."""
+    """Full point-path golden: the jax _layer_loss (DENSE matching
+    costs at mask resolution against soft-downsampled gt → auction
+    matching → importance-sampled loss points → bce+dice losses)
+    against an independent torch + scipy re-derivation that shares
+    ONLY the rng draws.  gt rides a different (full) resolution than
+    the mask logits."""
     from scipy.optimize import linear_sum_assignment
 
     from test_maskformer import t_dice_cost
@@ -89,16 +90,25 @@ def test_point_layer_loss_matches_torch_scipy_rederivation(rng):
     cls_scores = rng.randn(Q, K + 1).astype(np.float32)
     masks = rng.randn(Q, h, w).astype(np.float32)
     gt = (rng.rand(K, H, W) > 0.5).astype(np.float32)
+    # soft (area-mean) targets at mask resolution — the head's
+    # forward_train computes these with the framework resize; the twin
+    # below re-derives them with torch interpolate
+    from image_segmentation_lab_tpu.utils.ops import resize
+    gt_match = jnp.transpose(
+        resize(jnp.transpose(jnp.asarray(gt), (1, 2, 0))[None],
+               size=(h, w), mode="bilinear", align_corners=False)[0],
+        (2, 0, 1))
     key = jax.random.PRNGKey(5)
     lc, lm, ld = MaskFormerHead._layer_loss(
         head, jnp.asarray(cls_scores), jnp.asarray(masks), jnp.asarray(gt),
-        jnp.asarray([True, True]), key=key)
+        jnp.asarray([True, True]), key=key, gt_match=gt_match)
 
     # --- torch/scipy twin, reusing only the key-split/uniform draws
-    k_match, k_os, k_rand = jax.random.split(key, 3)
-    pts = np.asarray(jax.random.uniform(k_match, (1, Pn, 2), jnp.float32))
-    mp_t = _gsample(masks, np.repeat(pts, Q, 0))            # (Q, Pn)
-    gm_t = _gsample(gt, np.repeat(pts, K, 0))               # (K, Pn)
+    k_os, k_rand = jax.random.split(key, 2)
+    mp_t = torch.from_numpy(masks).reshape(Q, -1)           # (Q, h*w)
+    gm_t = torch.nn.functional.interpolate(
+        torch.from_numpy(gt)[None], size=(h, w), mode="bilinear",
+        align_corners=False)[0].reshape(K, -1)              # (K, h*w)
     probs = torch.softmax(torch.from_numpy(cls_scores), -1)
     cost = (2.0 * (-probs[:, :K].T)
             + 5.0 * t_bce_cost(mp_t, gm_t)
@@ -153,7 +163,7 @@ def test_importance_sampling_concentrates_on_boundary():
 
     # reproduce the head's sampling to inspect the chosen coords
     key = jax.random.PRNGKey(11)
-    _, k_os, k_rand = jax.random.split(key, 3)
+    k_os, k_rand = jax.random.split(key, 2)
     Pn, n_os = 16, int(16 * 4.0)
     n_imp = int(16 * 0.75)
     sel_maps = jnp.asarray(masks[:K])                # matched query 0
@@ -168,7 +178,8 @@ def test_importance_sampling_concentrates_on_boundary():
     def f(m):
         lc, lm, ld = MaskFormerHead._layer_loss(
             head, jnp.asarray(cls_scores), m, jnp.asarray(gt, jnp.float32),
-            jnp.asarray([True]), key=key)
+            jnp.asarray([True]), key=key,
+            gt_match=jnp.asarray(gt, jnp.float32))
         return lc + lm + ld
     g = jax.grad(f)(jnp.asarray(masks))
     assert np.isfinite(np.asarray(g)).all()
