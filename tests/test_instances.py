@@ -165,10 +165,18 @@ def test_val_cli_instances(tmp_path):
         [sys.executable, "val.py", "--network-cfg", str(net_cfg),
          "--dataset-cfg", str(ds_cfg), "--checkpoint", str(ckpt),
          "--work-dir", str(tmp_path / "runs"), "--device", "cpu",
-         "--batch-size", "2", "--num-workers", "0", "--instances"],
+         "--batch-size", "2", "--num-workers", "0", "--instances",
+         "--score"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
     assert r.returncode == 0, (r.stdout[-4000:], r.stderr[-4000:])
     assert "instances:" in r.stdout
+    # --score: the COCO-style mask mAP line + results.json field
+    assert "instance AP: mAP=" in r.stdout
+    results = json.loads(
+        (tmp_path / "runs" / "val" / "exp" / "results.json").read_text())
+    ap = results["instance_ap"]
+    assert set(ap) >= {"mAP", "AP50", "AP75", "per_class_AP", "num_gt"}
+    assert all(v is None or 0.0 <= v <= 1.0 for v in ap["per_class_AP"])
 
     records = json.loads(
         (tmp_path / "runs" / "val" / "exp" / "instances.json").read_text())

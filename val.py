@@ -62,6 +62,15 @@ def parse_args():
     parser.add_argument("--score-threshold", type=float, default=0.0,
                         help="instances: zero out queries below this "
                              "class-confidence")
+    parser.add_argument("--score", action="store_true",
+                        help="with --instances: also score the exported "
+                             "instances with COCO-style mask mAP "
+                             "(IoU .50:.05:.95, 101-point AP) against "
+                             "per-class gt segments (semantic gt carries "
+                             "no instance ids, so each class present in "
+                             "an image forms one gt segment — the same "
+                             "all-stuff convention the panoptic path "
+                             "uses for dense heads)")
     parser.add_argument("--object-mask-threshold", type=float, default=0.8,
                         help="panoptic: min query confidence to keep a "
                              "segment (mask-classification heads)")
@@ -278,12 +287,17 @@ def main():
               f"RQ={pan_metrics['RQ']:.2f}  "
               f"({n_done} maps -> {pan_dir})")
 
+    inst_metrics = None
     if args.instances:
-        from image_segmentation_lab_tpu.core.evaluation import \
-            instances_to_json
+        from image_segmentation_lab_tpu.core.evaluation import (
+            InstanceAPEvaluator, instances_to_json)
         inst_step = jax.jit(lambda v, img: model.apply(
             v, img, score_threshold=args.score_threshold,
             method="instances"))
+        inst_eval = (InstanceAPEvaluator(len(dataset.CLASSES))
+                     if args.score else None)
+        inst_ignore = (dataset.ignore_index
+                       if dataset.ignore_index is not None else 255)
         records = []
         for batch_idx, (images, labels, infos) in enumerate(loader):
             if dataset.device_pipeline is not None:
@@ -294,6 +308,7 @@ def main():
             files = infos.get("img_file_path")
             ilabels, scores, masks = (np.asarray(jax.device_get(a))
                                       for a in inst_step(variables, images))
+            gt_np = np.asarray(labels)
             for i in range(int(images.shape[0])):
                 name = (str(files[i]) if files is not None and i < len(files)
                         else f"{len(records):06d}")
@@ -301,18 +316,39 @@ def main():
                     "image": name,
                     "instances": instances_to_json(ilabels[i], scores[i],
                                                    masks[i])})
+                if inst_eval is not None:
+                    # semantic gt: one all-stuff segment per class present
+                    gt = gt_np[i]
+                    gts = [(c, gt == c)
+                           for c in np.unique(gt)
+                           if c != inst_ignore and 0 <= c]
+                    preds = [(int(ilabels[i, q]), float(scores[i, q]),
+                              masks[i, q])
+                             for q in range(scores.shape[1])
+                             if scores[i, q] > 0]
+                    inst_eval.process(preds, gts)
         inst_file = save_dir / "instances.json"
         with open(inst_file, "w") as f:
             json.dump(records, f)
         n_inst = sum(len(r["instances"]) for r in records)
         print(f"instances: {n_inst} over {len(records)} images "
               f"-> {inst_file}")
+        if inst_eval is not None:
+            inst_metrics = inst_eval.compute()
+            per_cls = " ".join(
+                f"{dataset.CLASSES[c]}={ap:.3f}"
+                for c, ap in enumerate(inst_metrics["per_class_AP"])
+                if ap is not None)
+            print(f"instance AP: mAP={inst_metrics['mAP']:.4f} "
+                  f"AP50={inst_metrics['AP50']:.4f} "
+                  f"AP75={inst_metrics['AP75']:.4f}  [{per_cls}]")
 
     print("val loss vars: " +
           " ".join(f"{k}={v:.4f}" for k, v in val_vars.items()))
     payload = {"checkpoint": str(args.checkpoint),
                "losses": val_vars,
                **({"panoptic": pan_metrics} if pan_metrics else {}),
+               **({"instance_ap": inst_metrics} if inst_metrics else {}),
                "metrics": {h: {k: (float(v) if np.isscalar(v) or
                                    getattr(v, "ndim", 1) == 0
                                    else np.asarray(v).tolist())
