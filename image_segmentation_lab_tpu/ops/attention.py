@@ -50,18 +50,19 @@ def no_flash():
 
     The kernel IS multi-device safe — its ``custom_partitioning`` rule
     (``ops/pallas/flash_attention.py``) runs one independent kernel per
-    shard whenever the folded (batch x heads) dim is the sharded one, so
-    batch-sharded programs (DP / ZeRO / FSDP / EP / window-sharded
-    slide) keep it.  This context remains for the programs where the
-    rule's dim-0-only contract would FORCE replication of a
-    deliberately sharded dim — the partitioner would insert an
-    all-gather of tokens (spatial sharding: L derives from the
-    H-sharded image) or heads (tensor parallelism: qkv output dim over
-    'model') before every attention, trading the kernel's HBM win for
-    ICI traffic and per-chip memory.  Those builders trace under this
-    context and keep the einsum path, which GSPMD shards natively.  The
-    path choice happens at trace time, so a Python-level flag is
-    sufficient.
+    shard whenever the folded (heads x batch) dim is the sharded one,
+    so batch-sharded programs (DP / ZeRO / FSDP / EP / window-sharded
+    slide) keep it, and — since the fold went heads-MAJOR (round 5) —
+    so does tensor parallelism: the 'model'-sharded head axis merges
+    into an expressible dim-0 sharding, verified all-gather-free in
+    ``tests/test_tensor_parallel.py``.  This context remains only for
+    the spatial-sharding builders, where the TOKEN dim derives from the
+    H-sharded image and the rule's dim-0-only contract would force an
+    all-gather of tokens before every attention, trading the kernel's
+    HBM win for ICI traffic and per-chip memory.  Those builders trace
+    under this context and keep the einsum path, which GSPMD shards
+    natively.  The path choice happens at trace time, so a Python-level
+    flag is sufficient.
     """
     global _flash_disabled
     _flash_disabled += 1
@@ -123,11 +124,16 @@ def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         return jnp.einsum("nhls,nshd->nlhd", attn.astype(v.dtype), v)
 
     assert force in ("flash", "interpret"), force
-    # fold heads into the kernel batch; XLA fuses these transposes into
-    # the surrounding projection copies
-    qf = jnp.swapaxes(q, 1, 2).reshape(N * h, Lq, d)
-    kf = jnp.swapaxes(k, 1, 2).reshape(N * h, Lk, d)
-    vf = jnp.swapaxes(v, 1, 2).reshape(N * h, Lk, d)
+    # fold heads into the kernel batch, heads-MAJOR: (h, N, L, d) ->
+    # (h*N, L, d).  XLA fuses these transposes into the surrounding
+    # projection copies either way; heads leading means a
+    # 'model'-sharded head axis (tensor parallelism's col-sharded qkv)
+    # merges into an expressible dim-0 sharding P(('model', 'data')),
+    # which the kernel's custom_partitioning rule handles with zero
+    # attention communication (one kernel per head-shard).
+    qf = jnp.transpose(q, (2, 0, 1, 3)).reshape(h * N, Lq, d)
+    kf = jnp.transpose(k, (2, 0, 1, 3)).reshape(h * N, Lk, d)
+    vf = jnp.transpose(v, (2, 0, 1, 3)).reshape(h * N, Lk, d)
     bq = min(block_q, -(-Lq // 16) * 16)
     # when the whole (padded) KV side fits VMEM comfortably, make it ONE
     # k block: Pallas fetches K/V once per batch row (the k index map is
@@ -142,7 +148,7 @@ def multihead_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     bk = int(os.environ.get("ISLT_FLASH_BK", bk))
     out = flash_attention(qf, kf, vf, scale, bq, bk,
                           force == "interpret")
-    return jnp.swapaxes(out.reshape(N, h, Lq, d), 1, 2)
+    return jnp.transpose(out.reshape(h, N, Lq, d), (1, 2, 0, 3))
 
 
 # Score-tensor element count above which the monolithic

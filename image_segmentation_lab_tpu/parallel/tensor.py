@@ -118,16 +118,20 @@ def make_tp_train_step(model, tx, mesh: Mesh, state,
     AND output state to the TP layout, so weights never silently
     collapse to replicated between steps.
     """
-    # einsum attention: the qkv projections are head-sharded over
-    # 'model', and the flash kernel's dim-0-only partition rule would
-    # gather heads back (see ops/attention.py::no_flash)
-    from ..ops.attention import without_flash
+    # flash attention stays ENABLED here (round 5): the dispatcher folds
+    # heads MAJOR into the kernel's batch dim (ops/attention.py), so the
+    # 'model'-sharded head axis merges into a dim-0 sharding the
+    # kernel's custom_partitioning rule runs shard-local — no
+    # all-gather (pinned by tests/test_tensor_parallel.py +
+    # test_parallel_hlo.py).  The einsum fallback costs SETR ViT-S
+    # train −26% end-to-end (docs/PERF.md round 5), which is what this
+    # buys back.
     from ..train_state import build_train_step_fn
 
     rep = replicated(mesh)
     data = batch_sharding(mesh, data_axis)
     state_sh = tp_shardings(state, mesh, rules, model_axis)
-    return jax.jit(without_flash(build_train_step_fn(model, tx, None)),
+    return jax.jit(build_train_step_fn(model, tx, None),
                    in_shardings=(state_sh, data, data, rep),
                    out_shardings=(state_sh, rep),
                    donate_argnums=(0,) if donate else ())
@@ -140,14 +144,13 @@ def make_tp_eval_step(model, mesh: Mesh, variables,
     """(data x model) inference step; ``variables`` supplies the
     sharding pytree structure (shard the actual dict with
     ``shard_state_tp`` before calling the step)."""
-    # einsum attention — heads are model-sharded (see make_tp_train_step)
-    from ..ops.attention import without_flash
-
+    # flash stays enabled — heads fold MAJOR into the kernel batch dim
+    # (see make_tp_train_step)
     data = batch_sharding(mesh, data_axis)
     var_sh = tp_shardings(variables, mesh, rules, model_axis)
 
     def eval_step(variables, img):
         return model.apply(variables, img, method="inference")
 
-    return jax.jit(without_flash(eval_step),
-                   in_shardings=(var_sh, data), out_shardings=data)
+    return jax.jit(eval_step, in_shardings=(var_sh, data),
+                   out_shardings=data)

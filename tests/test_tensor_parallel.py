@@ -128,3 +128,30 @@ def test_tp_pure_model_mesh(setup):
     s2, lv2 = step(tp_state, img, gt, jax.random.PRNGKey(3))
     np.testing.assert_allclose(float(lv1["loss"]), float(lv2["loss"]),
                                rtol=1e-5)
+
+
+def test_tp_flash_attention_shard_local_no_gather(setup, monkeypatch):
+    """Flash attention under TP (round 5): the heads-MAJOR fold in
+    ops/attention.py merges the 'model'-sharded head axis into the
+    kernel batch dim, so the custom_partitioning rule runs one kernel
+    per head-shard.  The TP train step with the (interpret) flash path
+    must (a) reproduce the single-device einsum loss and (b) compile
+    with ZERO all-gathers — the communication structure that justified
+    dropping the einsum fallback (SETR train was paying −26% for it,
+    docs/PERF.md round 5)."""
+    model, tx, img, gt, state = setup
+    single = make_train_step(model, tx, donate=False)
+    _, lv1 = single(state, img, gt, jax.random.PRNGKey(7))
+
+    monkeypatch.setenv("ISLT_FLASH_ATTN_FORCE", "interpret")
+    mesh = get_mesh(4, axis_names=("data", "model"), shape=(2, 2))
+    tp_state = shard_state_tp(state, mesh)
+    step = make_tp_train_step(model, tx, mesh, state, donate=False)
+    simg, sgt = shard_batch((img, gt), mesh)
+    _, lv2 = step(tp_state, simg, sgt, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(lv1["loss"]), float(lv2["loss"]),
+                               rtol=1e-5)
+    hlo = step.lower(tp_state, simg, sgt,
+                     jax.random.PRNGKey(7)).compile().as_text()
+    assert "all-gather" not in hlo, \
+        "flash under TP resharded (heads fold must stay dim-0 sharded)"
