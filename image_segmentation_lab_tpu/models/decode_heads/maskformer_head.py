@@ -236,6 +236,45 @@ def _bce_cost(mask_logits, gt_masks):
     return cost / mask_logits.shape[-1]
 
 
+def panoptic_from_probs(probs, mask_probs,
+                        object_mask_threshold: float = 0.8,
+                        overlap_threshold: float = 0.8):
+    """Panoptic competition on query-level probabilities — a free
+    function (pure jnp, no parameters) so consumers can run it on
+    TTA-AVERAGED ``(probs, mask_probs)`` (``val.py --panoptic --tta``)
+    exactly as the head runs it on single-view ones.
+
+    probs (N, Q, K+1) softmax class probabilities (last column = "no
+    object"); mask_probs (N, Q, H, W) sigmoid mask probabilities.
+    Returns the ``(query_id, labels, keep)`` triple of
+    ``MaskFormerHead.panoptic_map``, at the mask_probs resolution."""
+    K = probs.shape[-1] - 1
+    scores = jnp.max(probs[..., :-1], axis=-1)            # (N, Q)
+    labels = jnp.argmax(probs[..., :-1], axis=-1).astype(jnp.int32)
+    is_object = jnp.argmax(probs, axis=-1) != K
+    keep = is_object & (scores > object_mask_threshold)
+
+    weighted = mask_probs * scores[:, :, None, None]
+    weighted = jnp.where(keep[:, :, None, None], weighted, -1.0)
+    query_id = jnp.argmax(weighted, axis=1).astype(jnp.int32)
+    any_kept = jnp.any(keep, axis=1)[:, None, None]
+
+    # overlap filter: kept area after competition / own mask area
+    binary = (mask_probs >= 0.5) & keep[:, :, None, None]
+    won = query_id[:, None] == jnp.arange(
+        mask_probs.shape[1])[None, :, None, None]
+    kept_area = jnp.sum(binary & won, axis=(2, 3))
+    own_area = jnp.maximum(jnp.sum(binary, axis=(2, 3)), 1)
+    keep = keep & (kept_area / own_area > overlap_threshold) \
+        & (kept_area > 0)
+
+    valid_px = any_kept & jnp.take_along_axis(
+        keep, query_id.reshape(keep.shape[0], -1), axis=1
+    ).reshape(query_id.shape)
+    query_id = jnp.where(valid_px, query_id, -1)
+    return query_id, labels, keep
+
+
 def _sample_rows(maps, pts):
     """Bilinear-sample row r of ``maps`` (R, h, w) at its own points
     ``pts[r]`` ((R, P, 2), normalized xy) → (R, P)."""
@@ -382,6 +421,18 @@ class MaskFormerHead(BaseDecodeHead):
         masks = jax.nn.sigmoid(all_masks[-1].astype(jnp.float32)) > 0.5
         return labels, scores, masks
 
+    def query_probs(self, inputs, train: bool = False):
+        """The TTA-averageable query-level quantities: ``(probs
+        (N, Q, K+1) f32 softmax class probabilities, mask_probs
+        (N, Q, h, w) f32 sigmoid mask probabilities)``.  Queries are
+        deterministic slots — the same learned embeddings process every
+        input — so averaging per-query across TTA views is
+        well-defined (``val.py --panoptic --tta``)."""
+        all_cls, all_masks = self._forward_all(inputs, train)
+        probs = jax.nn.softmax(all_cls[-1].astype(jnp.float32), axis=-1)
+        mask_probs = jax.nn.sigmoid(all_masks[-1].astype(jnp.float32))
+        return probs, mask_probs
+
     def panoptic_map(self, inputs, object_mask_threshold: float = 0.8,
                      overlap_threshold: float = 0.8, train: bool = False):
         """Standard MaskFormer panoptic post-processing (the detectron2
@@ -398,33 +449,10 @@ class MaskFormerHead(BaseDecodeHead):
         build panoptic ids as ``labels[query_id] * OFFSET +
         instance_rank`` and mask out ``query_id == -1``.
         """
-        all_cls, all_masks = self._forward_all(inputs, train)
-        probs = jax.nn.softmax(all_cls[-1].astype(jnp.float32), axis=-1)
-        scores = jnp.max(probs[..., :-1], axis=-1)            # (N, Q)
-        labels = jnp.argmax(probs[..., :-1], axis=-1).astype(jnp.int32)
-        is_object = jnp.argmax(probs, axis=-1) != self.num_classes
-        keep = is_object & (scores > object_mask_threshold)
-
-        mask_probs = jax.nn.sigmoid(all_masks[-1].astype(jnp.float32))
-        weighted = mask_probs * scores[:, :, None, None]
-        weighted = jnp.where(keep[:, :, None, None], weighted, -1.0)
-        query_id = jnp.argmax(weighted, axis=1).astype(jnp.int32)
-        any_kept = jnp.any(keep, axis=1)[:, None, None]
-
-        # overlap filter: kept area after competition / own mask area
-        binary = (mask_probs >= 0.5) & keep[:, :, None, None]
-        won = query_id[:, None] == jnp.arange(
-            mask_probs.shape[1])[None, :, None, None]
-        kept_area = jnp.sum(binary & won, axis=(2, 3))
-        own_area = jnp.maximum(jnp.sum(binary, axis=(2, 3)), 1)
-        keep = keep & (kept_area / own_area > overlap_threshold) \
-            & (kept_area > 0)
-
-        valid_px = any_kept & jnp.take_along_axis(
-            keep, query_id.reshape(keep.shape[0], -1), axis=1
-        ).reshape(query_id.shape)
-        query_id = jnp.where(valid_px, query_id, -1)
-        return query_id, labels, keep
+        probs, mask_probs = self.query_probs(inputs, train)
+        return panoptic_from_probs(probs, mask_probs,
+                                   object_mask_threshold,
+                                   overlap_threshold)
 
     # ------------------------------------------------------------- losses
     def _layer_loss(self, cls_scores, mask_preds, gt_masks, valid,

@@ -179,6 +179,33 @@ class EncoderDecoder(BaseSegmentor):
                 method="nearest")
         return query_id, labels, keep
 
+    def panoptic_tta_probs(self, img, out_size=None, flip: bool = False):
+        """One TTA view's query-level probabilities, mapped back to the
+        un-augmented frame: mask probabilities bilinearly resized to
+        ``out_size`` (default: this view's input size) and un-flipped;
+        class probabilities pass through.  Queries are deterministic
+        slots (the same learned embeddings process every view), so
+        per-query averaging across views is well-defined — feed the
+        averages to ``maskformer_head.panoptic_from_probs`` (the
+        ``val.py --panoptic --tta`` composition).  Raises for dense
+        heads, which take the semantic TTA path instead."""
+        head = self.decode_head_module
+        if not hasattr(head, "query_probs"):
+            raise AttributeError(
+                f"{type(head).__name__} is a dense decode head — TTA "
+                "panoptic composes at the semantic level for it")
+        x = self.extract_feat(img, train=False)
+        probs, mask_probs = head.query_probs(x)
+        size = tuple(out_size) if out_size is not None else img.shape[1:3]
+        if mask_probs.shape[2:4] != size:
+            nhwq = jnp.transpose(mask_probs, (0, 2, 3, 1))
+            nhwq = resize(nhwq, size=size, mode="bilinear",
+                          align_corners=False)
+            mask_probs = jnp.transpose(nhwq, (0, 3, 1, 2))
+        if flip:
+            mask_probs = mask_probs[..., ::-1]
+        return probs, mask_probs
+
     def instances(self, img, score_threshold: float = 0.0):
         """Instance post-processing for mask-classification heads: the
         per-query ``(labels (N,Q), scores (N,Q), masks (N,Q,H,W) bool)``

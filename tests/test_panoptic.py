@@ -303,3 +303,113 @@ def test_val_cli_panoptic(tmp_path):
     rgb = cv2.imread(str(pngs[0]))[..., ::-1].astype(np.int64)
     ids = rgb[..., 0] + (rgb[..., 1] << 8) + (rgb[..., 2] << 16)
     assert set(np.unique(ids)) <= {0, 1, INSTANCE_OFFSET + 1}
+
+
+# --------------------------------------------------- TTA composition
+
+def test_panoptic_tta_probs_flip_and_identity_average():
+    """The `val.py --panoptic --tta` composition contract (round 5):
+    (a) `panoptic_tta_probs` un-flips mask probabilities back to the
+    un-augmented frame — flip=True equals the mirrored flip=False
+    output of the same input; (b) averaging identical views and running
+    `panoptic_from_probs` reproduces `method='panoptic'` exactly (the
+    refactor equivalence + the averaging contract)."""
+    from image_segmentation_lab_tpu.models.builder import build_segmentor
+    from image_segmentation_lab_tpu.models.decode_heads.maskformer_head \
+        import panoptic_from_probs
+
+    model = build_segmentor(_tiny_maskformer_cfg())
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 32, 32, 3),
+                    jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, method="encode_decode")
+
+    p1, m1 = model.apply(variables, x, out_size=(32, 32), flip=False,
+                         method="panoptic_tta_probs")
+    p2, m2 = model.apply(variables, x, out_size=(32, 32), flip=True,
+                         method="panoptic_tta_probs")
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+    np.testing.assert_array_equal(np.asarray(m1),
+                                  np.asarray(m2)[..., ::-1])
+    assert m1.shape[2:4] == (32, 32), "resized to out_size"
+
+    # identical-view average == single-view panoptic method
+    avg_p = (p1 + p1) / 2
+    avg_m = (m1 + m1) / 2
+    qid_t, lab_t, keep_t = panoptic_from_probs(
+        avg_p, avg_m, object_mask_threshold=0.0, overlap_threshold=0.8)
+    qid, lab, keep = model.apply(variables, x, method="panoptic",
+                                 object_mask_threshold=0.0)
+    np.testing.assert_array_equal(np.asarray(qid_t), np.asarray(qid))
+    np.testing.assert_array_equal(np.asarray(lab_t), np.asarray(lab))
+    np.testing.assert_array_equal(np.asarray(keep_t), np.asarray(keep))
+
+
+def test_panoptic_tta_probs_rejects_dense_heads():
+    from image_segmentation_lab_tpu.models.builder import build_segmentor
+    norm = dict(type="BN")
+    model = build_segmentor(dict(
+        type="EncoderDecoder",
+        backbone=dict(type="ResNetV1c", depth=18, num_stages=4,
+                      out_indices=(3,), dilations=(1, 1, 1, 1),
+                      strides=(1, 2, 2, 2), norm_cfg=norm,
+                      base_channels=8, stem_channels=8),
+        decode_head=dict(type="FCNHead", in_channels=64, in_index=0,
+                         channels=16, num_convs=1, concat_input=False,
+                         dropout_ratio=0.0, num_classes=3, norm_cfg=norm),
+        test_cfg=dict(mode="whole")))
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, method="encode_decode")
+    with pytest.raises(AttributeError, match="dense decode head"):
+        model.apply(variables, x, method="panoptic_tta_probs")
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_val_cli_panoptic_tta_mask_classification(tmp_path):
+    """`val.py --panoptic --tta` on a mask-classification head: the
+    TTA-averaged query probabilities feed ONE panoptic competition —
+    the run completes, prints PQ and writes the id maps."""
+    import pickle
+
+    import flax
+
+    from test_instances import DATASET_CFG as INST_DATASET_CFG
+    from test_instances import MASKFORMER_CFG
+    from test_instances import PIPELINE_YAML as INST_PIPE
+
+    from image_segmentation_lab_tpu.models.builder import build_segmentor
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    net_cfg = tmp_path / "maskformer_tiny.py"
+    net_cfg.write_text(MASKFORMER_CFG)
+    pipe = tmp_path / "pipe.yaml"
+    pipe.write_text(INST_PIPE)
+    ds_cfg = tmp_path / "ds.py"
+    ds_cfg.write_text(INST_DATASET_CFG.format(pipe=str(pipe)))
+
+    ns = {}
+    exec(MASKFORMER_CFG, ns)
+    model = build_segmentor(ns["model"])
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                   method="encode_decode")
+    sd = {}
+    for coll in v:
+        for k, le in flax.traverse_util.flatten_dict(v[coll]).items():
+            sd[".".join(k)] = np.asarray(le)
+    ckpt = tmp_path / "init.pth"
+    with open(ckpt, "wb") as f:
+        pickle.dump({"metadata": {"epoch": 0}, "state_dict": sd}, f)
+
+    r = subprocess.run(
+        [sys.executable, "val.py", "--network-cfg", str(net_cfg),
+         "--dataset-cfg", str(ds_cfg), "--checkpoint", str(ckpt),
+         "--work-dir", str(tmp_path / "runs"), "--device", "cpu",
+         "--batch-size", "2", "--num-workers", "0", "--panoptic",
+         "--tta", "--tta-scales", "0.75", "1.0"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, (r.stdout[-4000:], r.stderr[-4000:])
+    assert "panoptic (mask-cls):" in r.stdout, r.stdout[-2000:]
+    run_dir = tmp_path / "runs" / "val" / "exp"
+    payload = json.loads((run_dir / "results.json").read_text())
+    assert 0.0 <= payload["panoptic"]["PQ"] <= 100.0
+    assert len(list((run_dir / "panoptic").glob("*.png"))) == 4

@@ -196,7 +196,36 @@ def main():
                                 "panoptic_map")
         except AttributeError:
             mask_path = False
-        if mask_path:
+        if mask_path and args.tta:
+            # TTA/panoptic composition (mask-classification heads):
+            # per-query class + mask probabilities are averaged over
+            # the same multi-scale + hflip views as semantic TTA
+            # (queries are deterministic slots, so per-query averaging
+            # is well-defined), then ONE panoptic competition runs on
+            # the averages.  Dense heads already compose below: their
+            # all-stuff path consumes eval_step, which IS the TTA step.
+            from image_segmentation_lab_tpu.models.decode_heads.\
+                maskformer_head import panoptic_from_probs
+            from image_segmentation_lab_tpu.utils.ops import resize as _rs
+
+            @jax.jit
+            def pan_step(v, img):
+                H, W = img.shape[1:3]
+                acc_p, acc_m, n = 0.0, 0.0, 0
+                for s in args.tta_scales:
+                    scaled = _rs(img, size=(int(H * s), int(W * s)),
+                                 mode="bilinear", align_corners=False)
+                    for flip in (False, True):
+                        x = scaled[:, :, ::-1, :] if flip else scaled
+                        p, m = model.apply(v, x, out_size=(H, W),
+                                           flip=flip,
+                                           method="panoptic_tta_probs")
+                        acc_p, acc_m, n = acc_p + p, acc_m + m, n + 1
+                return panoptic_from_probs(
+                    acc_p / n, acc_m / n,
+                    object_mask_threshold=args.object_mask_threshold,
+                    overlap_threshold=args.overlap_threshold)
+        elif mask_path:
             pan_step = jax.jit(lambda v, img: model.apply(
                 v, img,
                 object_mask_threshold=args.object_mask_threshold,
