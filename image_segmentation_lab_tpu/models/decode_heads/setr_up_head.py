@@ -49,6 +49,17 @@ class SETRUPHead(BaseDecodeHead):
     def __call__(self, inputs, train: bool = False):
         x = self._transform_inputs(inputs)
         x = self.in_norm(x)
-        for conv, up in zip(self.up_convs, self.upsamples):
+        for conv, up in zip(self.up_convs[:-1], self.upsamples[:-1]):
             x = up(conv(x, train=train))
-        return self.cls_seg(x, train=train)
+        x = self.up_convs[-1](x, train=train)
+        if not train or self.dropout is None:
+            # Classifier/upsample commute (measured -60 ms on the b16
+            # 640^2 eval step, docs/PERF.md round 5): the 1x1 conv_seg is
+            # linear and every bilinear row sums to 1 (so the bias
+            # commutes too), hence up(cls(x)) == cls(up(x)) exactly —
+            # but upsampling num_classes channels instead of
+            # ``channels`` (256) makes the final 2x resize ~128x
+            # cheaper.  Only Dropout2d breaks the identity, so the
+            # original order is kept for train steps that use dropout.
+            return self.upsamples[-1](self.cls_seg(x, train=train))
+        return self.cls_seg(self.upsamples[-1](x), train=train)

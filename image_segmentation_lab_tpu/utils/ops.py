@@ -104,6 +104,19 @@ def resize_bilinear(x: jnp.ndarray,
     if method == "matmul":
         Mh = _interp_matrix(H, h, align_corners, sh)
         Mw = _interp_matrix(W, w, align_corners, sw)
+        if orig_dtype == jnp.bfloat16:
+            # bf16 MXU fast path (measured 3.2x on TPU, docs/PERF.md round
+            # 5): the inputs are already bf16-rounded, and bf16·bf16
+            # products are exact inside the f32 accumulator (8-bit
+            # mantissa products fit in 24 bits), so vs the f32 route the
+            # only extra rounding is the bf16 handoff between the two
+            # passes plus the weight cast (dyadic 2x weights are exact).
+            y = jnp.einsum("oh,nhwc->nowc", Mh.astype(jnp.bfloat16), x,
+                           preferred_element_type=jnp.float32)
+            y = jnp.einsum("pw,nowc->nopc", Mw.astype(jnp.bfloat16),
+                           y.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            return y.astype(orig_dtype)
         # (h,H)·(N,H,W,C) over H, then (w,W)·(N,h,W,C) over W
         xf = jnp.einsum("oh,nhwc->nowc", Mh, xf,
                         precision=jax.lax.Precision.HIGHEST)

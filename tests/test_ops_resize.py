@@ -106,3 +106,43 @@ def test_bicubic_scale_factor_and_dispatch(rng):
     np.testing.assert_allclose(
         np.transpose(np.asarray(out), (0, 3, 1, 2)), ref.numpy(),
         rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_matmul_fast_path_close_to_f32(rng):
+    """The bf16 MXU fast path (round 5, docs/PERF.md: 3.2x on TPU) may
+    differ from the f32 matmul route only by the bf16 handoff between
+    the two passes and the weight cast — a couple of bf16 ulps."""
+    from image_segmentation_lab_tpu.utils.ops import resize_bilinear
+    x32 = rng.randn(2, 13, 17, 8).astype(np.float32)
+    xb = jnp.asarray(x32).astype(jnp.bfloat16)
+    for align, out_hw in [(False, (26, 34)), (True, (26, 34)),
+                          (False, (20, 9))]:
+        ref = resize_bilinear(xb.astype(jnp.float32), out_hw, align,
+                              method="matmul")
+        got = resize_bilinear(xb, out_hw, align, method="matmul")
+        assert got.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   rtol=2e-2, atol=2e-2,
+                                   err_msg=f"{align} {out_hw}")
+
+
+def test_bilinear_commutes_with_1x1_conv(rng):
+    """up(conv1x1(x)) == conv1x1(up(x)): the identity behind the SETR
+    head's classifier/upsample fold (setr_up_head.py round 5) — bilinear
+    rows sum to 1, so the bias commutes too."""
+    import jax
+    from image_segmentation_lab_tpu.utils.ops import resize_bilinear
+    x = jnp.asarray(rng.randn(2, 9, 11, 6).astype(np.float32))
+    w = jnp.asarray(rng.randn(1, 1, 6, 3).astype(np.float32))
+    b = jnp.asarray(rng.randn(3).astype(np.float32))
+    conv = lambda t: jax.lax.conv_general_dilated(
+        t, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    for align in (False, True):
+        for method in ("gather", "matmul"):
+            a = resize_bilinear(conv(x), (18, 22), align, method=method)
+            c = conv(resize_bilinear(x, (18, 22), align, method=method))
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"{align} {method}")
